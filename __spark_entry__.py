@@ -1,38 +1,437 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline at sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2
+(plus the training-data ops); ``oracle_sql()`` gives each one a DuckDB
+twin over the same parquet.
+
+The transcripts/conversations tables (BASELINE.json input_hint) are
+generated deterministically by ``python -m v2_ocr_spark.fixtures.generate``
+into /root/repo/data/sf*/ (seed=42, byte-stable — see FIXTURES.md);
+oracles read them via DuckDB ``read_parquet``. The TPC-H-ish views the
+driver pre-registers (documents, embeddings, events, ...) are used
+directly for the dedup / similarity / text-analysis operators.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from v2_ocr_spark.kernels.markdown import JS_WS
+from v2_ocr_spark.operators import dedup, multimodal, relational, similarity, textstats
+from v2_ocr_spark.operators.assemble import assemble, export_documents
+from v2_ocr_spark.operators.extract import extract_turns
+
+REPO_DATA = os.environ.get("V2OCR_DATA_DIR", "/root/repo/data")
+EXPORT_TS = "2025-01-01 00:00:00"
+SEP80 = "=" * 80
+
+
+def _data_dir(sf_dir: str) -> str:
+    """Map the driver's testdata dir to the generated transcripts dir
+    of the same scale (sf0.001 / sf0.01 / sf0.1)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if not name.startswith("sf"):
+        name = "sf0.01"
+    d = os.path.join(REPO_DATA, name)
+    if not os.path.isdir(d):
+        from v2_ocr_spark.fixtures.generate import SCALES, generate_all
+
+        if name in SCALES:
+            generate_all(REPO_DATA, {name: SCALES[name]})
+        else:
+            d = os.path.join(REPO_DATA, "sf0.01")
+    return d
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{_data_dir(sf_dir)}/transcripts.parquet")
+
+
+def _conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{_data_dir(sf_dir)}/conversations.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract every turn of the sf0.001 transcripts —
+    cleaned text + spans in stable (conv_id, turn_idx) order."""
+    df = _transcripts(spark, "/root/testdata/sf0.001")
+    return extract_turns(df).orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _canon_spans(col: str = "spans") -> F.Column:
+    return F.concat_ws(
+        ";",
+        F.transform(
+            F.col(col),
+            lambda x: F.concat_ws(
+                ":",
+                x["start"].cast("string"),
+                x["end"].cast("string"),
+                x["kind"],
+            ),
+        ),
+    )
+
+
+def q_extract_all(spark, sf_dir):
+    out = extract_turns(_transcripts(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "extracted_text")
+
+
+def q_extract_markdown(spark, sf_dir):
+    from v2_ocr_spark.operators.extract import with_payload_kind
+
+    t = with_payload_kind(_transcripts(spark, sf_dir))
+    out = extract_turns(t.where(F.col("payload_kind") == "markdown"))
+    return out.select("conv_id", "turn_idx", "extracted_text")
+
+
+def q_extract_spans(spark, sf_dir):
+    out = extract_turns(_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx", _canon_spans().alias("spans_str")
+    )
+
+
+def q_assemble(spark, sf_dir):
+    out = extract_turns(_transcripts(spark, sf_dir))
+    return assemble(out, chunk_size=256)
+
+
+def q_export(spark, sf_dir):
+    out = extract_turns(_transcripts(spark, sf_dir))
+    conv = _conversations(spark, sf_dir)
+    return export_documents(out, conv, EXPORT_TS).select(
+        "conv_id", "export_text"
+    )
+
+
+def _rel(fn):
+    return lambda spark, sf_dir: fn(spark, _data_dir(sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction core (E1-E4, E2/E14 assembly)
+        "extract_all_turns": q_extract_all,
+        "extract_markdown": q_extract_markdown,
+        "extract_spans": q_extract_spans,
+        "assemble_documents": q_assemble,
+        "export_documents": q_export,
+        # relational surface (S/P/A/O/J, E5/E6)
+        "queue_scan": _rel(relational.queue_scan),
+        "results_scan": _rel(relational.results_scan),
+        "top_queue": _rel(relational.top_queue),
+        "multi_key_sort": _rel(relational.multi_key_sort),
+        "size_sort": _rel(relational.size_sort),
+        "compound_filter": _rel(relational.compound_filter),
+        "fulltext_search": _rel(relational.fulltext_search),
+        "viewable": _rel(relational.viewable),
+        "status_invariant": _rel(relational.status_invariant),
+        "range_filter": _rel(relational.range_filter),
+        "status_counts": _rel(relational.status_counts),
+        "dashboard_stats": _rel(relational.dashboard_stats),
+        "storage_stats": _rel(relational.storage_stats),
+        "text_size": _rel(relational.text_size),
+        "turns_per_conversation": _rel(relational.turns_per_conversation),
+        "progress": _rel(relational.progress),
+        "role_counts": _rel(relational.role_counts),
+        "semi_join_completed": _rel(relational.semi_join_completed),
+        "anti_join_cancelled": _rel(relational.anti_join_cancelled),
+        "rtl_flags": _rel(relational.rtl_flags),
+        "arabic_numerals": _rel(relational.arabic_numerals),
+        # dedup (documents table)
+        "dedup_exact": dedup.exact_duplicates,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        # similarity (embeddings table)
+        "ann_brute_force_topk": similarity.brute_force_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
+        "cosine_near_dup": similarity.cosine_near_dup_pairs,
+        # text analysis (documents table)
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_counts": textstats.token_counts,
+        "fingerprints": textstats.fingerprints,
+        "rolling_fingerprint": textstats.rolling_fingerprint,
+        # multimodal plumbing
+        "multimodal_image_meta": multimodal.image_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (run by the driver at sf=0.01)
+# ---------------------------------------------------------------------------
+
+_D = f"{REPO_DATA}/sf0.01"
+_T = f"read_parquet('{_D}/transcripts.parquet')"
+_E = f"read_parquet('{_D}/transcripts_expected.parquet')"
+_C = f"read_parquet('{_D}/conversations.parquet')"
+
+# kind-dispatch rule, mirrored in SQL
+_KIND = (
+    "CASE WHEN tool IS NOT NULL AND "
+    "regexp_extract(tool, 'extract:([a-z_]+)', 1) <> '' "
+    "THEN regexp_extract(tool, 'extract:([a-z_]+)', 1) "
+    "WHEN role = 'assistant' THEN 'markdown' ELSE 'plain' END"
+)
+
+# E1 cleanup — independent re-derivation in RE2 (not from the expected
+# table): image refs, $$ unwrap, aligned unwrap, JS-whitespace trim.
+_E1_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''), "
+    r"'!\[.*?\]\(.*?\)', '', 'g'), "
+    r"'\$\$([\s\S]*?)\$\$', '\1', 'g'), "
+    r"'\\begin\{aligned\}([\s\S]*?)\\end\{aligned\}', '\1', 'g'), "
+    f"'{JS_WS}')"
+)
+
+_SPAN_STR = (
+    "coalesce(array_to_string(list_transform(expected_spans, "
+    "x -> x.start || ':' || x.\"end\" || ':' || x.kind), ';'), '')"
+)
+
+_EXPORT_BLOCK = (
+    f"'{SEP80}' || e'\\n' || 'Page ' || turn_idx || ' of ' || cnt || "
+    f"e'\\n' || '{SEP80}' || e'\\n\\n' || expected_text || e'\\n\\n'"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "extract_all_turns": (
+            f"SELECT conv_id, turn_idx, expected_text AS extracted_text FROM {_E}"
+        ),
+        "extract_markdown": (
+            f"WITH k AS (SELECT conv_id, turn_idx, text, {_KIND} AS kind FROM {_T}) "
+            f"SELECT conv_id, turn_idx, {_E1_SQL} AS extracted_text "
+            "FROM k WHERE kind = 'markdown'"
+        ),
+        "extract_spans": (
+            f"SELECT conv_id, turn_idx, {_SPAN_STR} AS spans_str FROM {_E}"
+        ),
+        "assemble_documents": (
+            "SELECT conv_id, "
+            "string_agg(expected_text, e'\\n\\n' ORDER BY turn_idx) AS document_text, "
+            f"CAST(count(*) AS INT) AS total_turns FROM {_E} GROUP BY conv_id"
+        ),
+        "export_documents": (
+            f"WITH n AS (SELECT conv_id, count(*) AS cnt FROM {_E} GROUP BY conv_id), "
+            f"b AS (SELECT e.conv_id, string_agg({_EXPORT_BLOCK}, e'\\n' "
+            "ORDER BY e.turn_idx) AS blk, any_value(n.cnt) AS cnt "
+            f"FROM {_E} e JOIN n USING (conv_id) GROUP BY e.conv_id) "
+            f"SELECT b.conv_id, '{SEP80}' || e'\\n' || 'Document: ' || "
+            "coalesce(c.source_name, '') || e'\\n' || "
+            f"'Exported: {EXPORT_TS}' || e'\\n' || 'Total Pages: ' || b.cnt || "
+            f"e'\\n' || '{SEP80}' || e'\\n\\n' || b.blk AS export_text "
+            f"FROM b JOIN {_C} c USING (conv_id)"
+        ),
+        # ---- relational ----
+        "queue_scan": (
+            "SELECT conv_id, status, CAST(epoch(created_at) AS BIGINT) AS created_epoch "
+            f"FROM {_C} WHERE status IN ('queued','processing','pending') "
+            "ORDER BY created_epoch DESC, conv_id"
+        ),
+        "results_scan": (
+            f"SELECT conv_id, turn_idx, role, text FROM {_T} "
+            "WHERE conv_id = 'conv00000001' ORDER BY turn_idx"
+        ),
+        "top_queue": (
+            "SELECT conv_id, status, CAST(epoch(created_at) AS BIGINT) AS created_epoch "
+            f"FROM {_C} ORDER BY created_epoch DESC, conv_id LIMIT 5"
+        ),
+        "multi_key_sort": (
+            "SELECT conv_id, source_name, "
+            "CAST(epoch(coalesce(processing_started_at, created_at)) AS BIGINT) AS sort_epoch "
+            f"FROM {_C} ORDER BY sort_epoch DESC, source_name, conv_id LIMIT 20"
+        ),
+        "size_sort": (
+            f"SELECT conv_id, size_bytes FROM {_C} "
+            "ORDER BY size_bytes DESC, conv_id LIMIT 10"
+        ),
+        "compound_filter": (
+            f"SELECT conv_id, source_name, status FROM {_C} "
+            "WHERE lower(source_name) LIKE '%report%' AND status = 'completed'"
+        ),
+        "fulltext_search": (
+            f"SELECT conv_id, turn_idx FROM {_T} WHERE lower(text) LIKE '%fox%'"
+        ),
+        "viewable": (
+            "SELECT conv_id, status, "
+            "(status = 'completed' OR (status = 'cancelled' AND total_turns > 0) "
+            f"OR status IN ('error','failed')) AS is_viewable FROM {_C}"
+        ),
+        "status_invariant": (
+            "SELECT count(*) FILTER (WHERE status = 'queued' AND error IS NOT NULL) "
+            f"AS violations FROM {_C}"
+        ),
+        "range_filter": (
+            "SELECT conv_id, CAST(epoch(created_at) AS BIGINT) AS created_epoch "
+            f"FROM {_C} WHERE created_at < TIMESTAMPTZ '2025-01-03 00:00:00+00'"
+        ),
+        "status_counts": (
+            f"SELECT status, count(*) AS n FROM {_C} GROUP BY status"
+        ),
+        "dashboard_stats": (
+            "SELECT count(*) FILTER (WHERE status IN ('completed','failed','error')) "
+            "AS total_processed, "
+            "round(avg(CASE WHEN status = 'completed' THEN "
+            "epoch(processing_completed_at) - epoch(processing_started_at) END), 6) "
+            "AS avg_processing_sec, "
+            "round(count(*) FILTER (WHERE status = 'completed') * 100.0 / count(*), 6) "
+            f"AS success_rate FROM {_C}"
+        ),
+        "storage_stats": (
+            "SELECT CAST(sum(size_bytes) AS BIGINT) AS total_bytes, "
+            f"count(*) AS n_convs FROM {_C}"
+        ),
+        "text_size": (
+            "SELECT CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars "
+            f"FROM {_T}"
+        ),
+        "turns_per_conversation": (
+            "SELECT conv_id, turn_idx, "
+            "CAST(count(*) OVER (PARTITION BY conv_id) AS INT) AS total_turns "
+            f"FROM {_T} WHERE conv_id = 'conv00000002'"
+        ),
+        "progress": (
+            "SELECT conv_id, CAST(floor(max(turn_idx) * 100 / count(*)) AS BIGINT) "
+            f"AS progress_pct FROM {_T} GROUP BY conv_id"
+        ),
+        "role_counts": (
+            f"SELECT role, count(*) AS n FROM {_T} GROUP BY role"
+        ),
+        "semi_join_completed": (
+            f"SELECT t.conv_id, count(*) AS n_turns FROM {_T} t "
+            f"WHERE t.conv_id IN (SELECT conv_id FROM {_C} WHERE status = 'completed') "
+            "GROUP BY t.conv_id"
+        ),
+        "anti_join_cancelled": (
+            f"SELECT count(*) AS surviving_turns FROM {_T} t "
+            f"WHERE t.conv_id NOT IN (SELECT conv_id FROM {_C} "
+            "WHERE status = 'cancelled')"
+        ),
+        "rtl_flags": (
+            "SELECT conv_id, source_name, "
+            "regexp_matches(source_name, '[֑-߿יִ-﷽ﹰ-ﻼ]') AS is_rtl "
+            f"FROM {_C}"
+        ),
+        "arabic_numerals": (
+            "SELECT conv_id, turn_idx, "
+            "translate(CAST(turn_idx AS VARCHAR), '0123456789', '٠١٢٣٤٥٦٧٨٩') "
+            f"AS turn_idx_ar FROM {_T} WHERE conv_id = 'conv00000004'"
+        ),
+        # ---- dedup (documents view) ----
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text HAVING count(*) > 1"
+        ),
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _JACCARD_SQL,  # same contract: all pairs >= 0.5
+        # ---- similarity (embeddings view) ----
+        "cosine_near_dup": (
+            "WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM u a JOIN u b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.e, b.e) >= 0.4 "
+            "ORDER BY id_a, id_b"
+        ),
+        "ann_brute_force_topk": (
+            "WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, "
+            "list_cosine_similarity(q.e, c.e) AS cosine, "
+            "row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rank "
+            "FROM u q JOIN u c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) "
+            "SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, "
+            "round(cosine, 6) AS cosine FROM s WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        # ---- text analysis (documents view) ----
+        "lang_id": _LANG_ID_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_counts": (
+            "SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens, "
+            r"CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]+')) AS INT) "
+            "AS bpe_tokens FROM documents"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, md5(text) AS fp_exact, "
+            r"md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_norm "
+            "FROM documents"
+        ),
+        # dedup_simhash / ann_ivf_topk / rolling_fingerprint /
+        # multimodal_image_meta: engine-specific hashing or stubs —
+        # rows-only check (documented; recall-tested in tests/).
+    }
+    return sql
+
+
+_JACCARD_SQL = (
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s "
+    "FROM documents) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.s, b.s))) >= 0.5 "
+    "ORDER BY doc_a, doc_b"
+)
+
+_STOP_SQL = {
+    lang: " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))"
+        for w in textstats.STOPWORDS[lang]
+    )
+    for lang in ("en", "de", "fr", "es")
+}
+
+_LANG_ID_SQL = (
+    "WITH m AS (SELECT doc_id, "
+    "len(regexp_extract_all(lower(text), '[؀-ۿ]')) / "
+    "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS ar, "
+    "len(regexp_extract_all(lower(text), '[Ѐ-ӿ]')) / "
+    "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS cy, "
+    "len(regexp_extract_all(lower(text), '[一-鿿]')) / "
+    "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS cjk, "
+    f"{_STOP_SQL['en']} AS en, {_STOP_SQL['de']} AS de, "
+    f"{_STOP_SQL['fr']} AS fr, {_STOP_SQL['es']} AS es "
+    "FROM documents) "
+    "SELECT doc_id, CASE WHEN ar > 0.3 THEN 'ar' WHEN cy > 0.3 THEN 'ru' "
+    "WHEN cjk > 0.3 THEN 'zh' "
+    "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+    "WHEN de >= fr AND de >= es THEN 'de' "
+    "WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang FROM m"
+)
+
+_QUALITY_SQL = (
+    "WITH m AS (SELECT doc_id, "
+    "CAST(greatest(length(text), 1) AS DOUBLE) AS n, "
+    r"CAST(len(regexp_extract_all(text, '\p{L}')) AS DOUBLE) AS n_alpha, "
+    r"CAST(len(regexp_extract_all(text, '[^\p{L}\d\s]')) AS DOUBLE) AS n_punct, "
+    r"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words, "
+    f"CAST({_STOP_SQL['en']} AS DOUBLE) AS n_stop "
+    "FROM documents) "
+    "SELECT doc_id, round(n_alpha / n, 6) AS alpha_ratio, "
+    "round(n_punct / n, 6) AS punct_ratio, "
+    "round(n_alpha / greatest(n_words, 1.0), 6) AS mean_word_len, "
+    "round(least(n / 500.0, 1.0) * 0.25 + (n_alpha / n) * 0.35 + "
+    "(1.0 - least(n_punct / n * 10.0, 1.0)) * 0.2 + "
+    "least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0) * 0.2, 6) AS quality "
+    "FROM m"
+)

@@ -1,0 +1,119 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "turns_per_sec_extraction", "value": N, "unit": "sec"-keyed
+   query times, "queries": {...}, "sf": ...}
+
+The headline metric is extraction throughput (turns/sec) — the
+BASELINE.md target. Query timings are end-to-end (plan + execute +
+materialize counts), after one warm-up pass of the JVM/Arrow path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entry_mod
+    from v2_ocr_spark.operators import dedup, similarity, textstats
+    from v2_ocr_spark.operators.assemble import assemble
+    from v2_ocr_spark.operators.extract import extract_turns
+    from v2_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    data_dir = entry_mod._data_dir(SF_DIR)
+    transcripts_path = f"{data_dir}/transcripts.parquet"
+
+    # warm-up: JVM, codegen, Arrow channel
+    warm = spark.read.parquet(transcripts_path).limit(2000)
+    extract_turns(warm).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    transcripts = spark.read.parquet(transcripts_path)
+    n_turns = transcripts.count()
+
+    # headline: full extraction pass (count forces materialization of
+    # every cleaned turn + spans)
+    timed(
+        "extract_all",
+        lambda: extract_turns(transcripts)
+        .agg(F.sum(F.length("extracted_text")), F.sum(F.size("spans")))
+        .collect(),
+    )
+    timed(
+        "assemble_documents",
+        lambda: assemble(extract_turns(transcripts), chunk_size=1024)
+        .agg(F.sum(F.length("document_text")))
+        .collect(),
+    )
+    timed(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(spark, SF_DIR).count(),
+    )
+    timed(
+        "ann_brute_force_topk",
+        lambda: similarity.brute_force_topk(spark, SF_DIR).count(),
+    )
+    timed("quality_score",
+          lambda: textstats.quality_score(spark, SF_DIR)
+          .agg(F.sum("quality")).collect())
+    timed("token_counts",
+          lambda: textstats.token_counts(spark, SF_DIR)
+          .agg(F.sum("bpe_tokens")).collect())
+    timed(
+        "fulltext_search",
+        lambda: transcripts.where(F.lower(F.col("text")).contains("fox")).count(),
+    )
+    timed(
+        "status_agg",
+        lambda: spark.read.parquet(f"{data_dir}/conversations.parquet")
+        .groupBy("status").count().collect(),
+    )
+
+    turns_per_sec = round(n_turns / timings["extract_all"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "turns_per_sec_extraction",
+                "value": turns_per_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf(SF_DIR),
+                "n_turns": n_turns,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

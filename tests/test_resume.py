@@ -1,0 +1,116 @@
+"""Idempotence / resume tests (SURVEY.md §5.2 item 4): kill after a
+partial commit, re-run, final table equals a single-run table with no
+duplicate (conv_id, turn_idx) — mirrors Q2 crash recovery + S5
+idempotent upserts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from v2_ocr_spark.pipeline.runner import ExtractionJob
+from v2_ocr_spark.pipeline.sink import QUEUED
+
+
+@pytest.fixture()
+def job_factory(spark, sf_small, tmp_path):
+    def make(name: str, **kw) -> ExtractionJob:
+        return ExtractionJob(
+            spark,
+            f"{sf_small}/transcripts.parquet",
+            str(tmp_path / name),
+            num_partitions=kw.pop("num_partitions", 8),
+            **kw,
+        )
+
+    return make
+
+
+def _table(job):
+    return (
+        job.read_output()
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_single_run_commits_everything(job_factory):
+    job = job_factory("single")
+    res = job.run()
+    assert sorted(res["committed"]) == list(range(8))
+    out = job.read_output()
+    assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+
+
+def test_crash_resume_equals_single_run(spark, job_factory):
+    ref = job_factory("ref")
+    ref.run()
+    expected = _table(ref)
+
+    job = job_factory("crashy")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        job.run(fail_before_promote={4})
+    # partial state: some partitions committed, some not
+    committed = set(job.sink.committed())
+    assert committed and len(committed) < 8
+
+    # Q2: leftover 'processing' states are recovered, re-run completes
+    res2 = job.run()
+    assert res2["status"] == "ok"
+    assert set(job.sink.committed()) == set(range(8))
+    got = _table(job)
+    assert got.equals(expected)
+    # no duplicates after resume
+    dup = (
+        job.read_output()
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_rerun_is_noop(job_factory):
+    job = job_factory("noop")
+    job.run()
+    res = job.run()
+    assert res["status"] == "up-to-date"
+
+
+def test_recover_resets_processing(job_factory):
+    job = job_factory("recover")
+    job.checkpoints.set(3, status="processing", run_id="dead", attempt=1)
+    reset = job.checkpoints.recover()
+    assert reset == [3]
+    assert job.checkpoints.get(3)["status"] == QUEUED
+
+
+def test_metrics_lineage(job_factory):
+    job = job_factory("metrics")
+    job.run()
+    rows = job.sink.metrics_rows()
+    assert len(rows) == 8
+    total = sum(r["turns_seen"] for r in rows)
+    assert total == 11782  # sf0.001 row count
+    assert all(r["snapshot_id"] for r in rows)
+    assert all(r["chars_out"] >= 0 and r["proc_ms"] >= 0 for r in rows)
+
+
+def test_conversations_never_straddle_partitions(job_factory):
+    job = job_factory("colocate")
+    job.run()
+    out = job.read_output().withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/pid="), 2)
+    )
+    n = (
+        out.select("conv_id", F.split("file", "/")[0].alias("pid"))
+        .distinct()
+        .groupBy("conv_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert n == 0

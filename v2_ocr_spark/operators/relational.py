@@ -1,0 +1,285 @@
+"""The reference's relational query surface (SURVEY.md §2.2-2.7),
+re-expressed as DataFrame builders.
+
+Every builder takes (spark, data_dir) where data_dir holds the
+generated transcripts/conversations parquet, and returns a DataFrame
+whose column names match the DuckDB oracle in __spark_entry__.py
+exactly. Timestamps are surfaced as epoch seconds (bigint) so value
+hashes are engine- and timezone-independent.
+
+All of these are single-pass Catalyst plans: filters and projections
+push down to the Parquet scan, aggregates use partial (map-side)
+aggregation, and the one join (J1/J2) broadcasts the small
+conversations dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from v2_ocr_spark.kernels.textfns import ARABIC_NUMERALS, RTL_DETECT_PATTERN
+
+
+def _t(spark: SparkSession, d: str) -> DataFrame:
+    return spark.read.parquet(f"{d}/transcripts.parquet")
+
+
+def _c(spark: SparkSession, d: str) -> DataFrame:
+    return spark.read.parquet(f"{d}/conversations.parquet")
+
+
+def _epoch(col: str) -> F.Column:
+    return F.col(col).cast("long")
+
+
+# ---- scans / sorts / top-k ------------------------------------------------
+
+def queue_scan(spark, d):
+    """S3: documents by status set, newest first (queue-service.ts:36-64)."""
+    return (
+        _c(spark, d)
+        .where(F.col("status").isin("queued", "processing", "pending"))
+        .select(
+            "conv_id", "status", _epoch("created_at").alias("created_epoch")
+        )
+        .orderBy(F.desc("created_epoch"), "conv_id")
+    )
+
+
+def results_scan(spark, d):
+    """S4: one conversation's turns in stable order (results-service.ts:23-37)."""
+    return (
+        _t(spark, d)
+        .where(F.col("conv_id") == "conv00000001")
+        .select("conv_id", "turn_idx", "role", "text")
+        .orderBy("turn_idx")
+    )
+
+
+def top_queue(spark, d):
+    """O3: first 5 queue items (MAX_QUEUE_DISPLAY, config/constants.ts:4)."""
+    return (
+        _c(spark, d)
+        .select("conv_id", "status", _epoch("created_at").alias("created_epoch"))
+        .orderBy(F.desc("created_epoch"), "conv_id")
+        .limit(5)
+    )
+
+
+def multi_key_sort(spark, d):
+    """O2: sort by coalesce(processing_started_at, created_at) desc then
+    name (app/documents/page.tsx:90-107), deterministic tiebreak."""
+    return (
+        _c(spark, d)
+        .select(
+            "conv_id",
+            "source_name",
+            F.coalesce(
+                _epoch("processing_started_at"), _epoch("created_at")
+            ).alias("sort_epoch"),
+        )
+        .orderBy(F.desc("sort_epoch"), "source_name", "conv_id")
+        .limit(20)
+    )
+
+
+def size_sort(spark, d):
+    """O2 size variant: largest conversations first."""
+    return (
+        _c(spark, d)
+        .select("conv_id", "size_bytes")
+        .orderBy(F.desc("size_bytes"), "conv_id")
+        .limit(10)
+    )
+
+
+# ---- filters / predicates --------------------------------------------------
+
+def compound_filter(spark, d):
+    """P5: name contains (case-insensitive) AND status filter
+    (app/documents/page.tsx:109-116)."""
+    return (
+        _c(spark, d)
+        .where(
+            F.lower(F.col("source_name")).contains("report")
+            & (F.col("status") == "completed")
+        )
+        .select("conv_id", "source_name", "status")
+    )
+
+
+def fulltext_search(spark, d):
+    """P6: case-insensitive substring over turn texts
+    (app/documents/[id]/page.tsx:697-711)."""
+    return (
+        _t(spark, d)
+        .where(F.lower(F.col("text")).contains("fox"))
+        .select("conv_id", "turn_idx")
+    )
+
+
+def viewable(spark, d):
+    """P8: completed OR (cancelled AND turns>0) OR error/failed
+    (app/components/document-list.tsx:202-213)."""
+    c = _c(spark, d)
+    return c.select(
+        "conv_id",
+        "status",
+        (
+            (F.col("status") == "completed")
+            | ((F.col("status") == "cancelled") & (F.col("total_turns") > 0))
+            | F.col("status").isin("error", "failed")
+        ).alias("is_viewable"),
+    )
+
+
+def status_invariant(spark, d):
+    """P9: no row may have status='queued' AND error set
+    (lib/tests/document-status-validation.ts:21-23)."""
+    return _c(spark, d).agg(
+        F.count(
+            F.when(
+                (F.col("status") == "queued") & F.col("error").isNotNull(), 1
+            )
+        ).alias("violations")
+    )
+
+
+def range_filter(spark, d):
+    """P4: created_at < cutoff (retention scan, stats-service.ts:163-167)."""
+    return (
+        _c(spark, d)
+        .where(F.col("created_at") < F.lit("2025-01-03 00:00:00").cast("timestamp"))
+        .select("conv_id", _epoch("created_at").alias("created_epoch"))
+    )
+
+
+# ---- aggregates -------------------------------------------------------------
+
+def status_counts(spark, d):
+    """A1: status distribution (queue-service.ts:76-80)."""
+    return _c(spark, d).groupBy("status").agg(F.count("*").alias("n"))
+
+
+def dashboard_stats(spark, d):
+    """A2: totalProcessed / avg processing seconds / success rate
+    (app/page.tsx:168-180)."""
+    c = _c(spark, d)
+    done = F.col("status") == "completed"
+    failed = F.col("status").isin("failed", "error")
+    return c.agg(
+        F.count(F.when(done | failed, 1)).alias("total_processed"),
+        F.round(
+            F.avg(
+                F.when(
+                    done,
+                    _epoch("processing_completed_at")
+                    - _epoch("processing_started_at"),
+                )
+            ),
+            6,
+        ).alias("avg_processing_sec"),
+        F.round(
+            F.count(F.when(done, 1)) * 100.0 / F.count("*"), 6
+        ).alias("success_rate"),
+    )
+
+
+def storage_stats(spark, d):
+    """A4: sum of sizes (stats-service.ts:82-103)."""
+    return _c(spark, d).agg(
+        F.sum("size_bytes").alias("total_bytes"),
+        F.count("*").alias("n_convs"),
+    )
+
+
+def text_size(spark, d):
+    """A4 text variant: total text chars (stats-service.ts:106-127)."""
+    return _t(spark, d).agg(
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("total_chars")
+    )
+
+
+def turns_per_conversation(spark, d):
+    """A6: total turns per conversation via window count
+    (file-processor.ts:161,316 total_pages analog)."""
+    w = Window.partitionBy("conv_id")
+    return (
+        _t(spark, d)
+        .where(F.col("conv_id") == "conv00000002")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.count("*").over(w).cast("int").alias("total_turns"),
+        )
+    )
+
+
+def progress(spark, d):
+    """A5: floor(done*100/total) per conversation (file-processor.ts:322)."""
+    return (
+        _t(spark, d)
+        .groupBy("conv_id")
+        .agg(
+            F.floor(
+                F.max("turn_idx") * 100 / F.count("*")
+            ).cast("long").alias("progress_pct")
+        )
+    )
+
+
+def role_counts(spark, d):
+    """A1 analog over turns: per-role counts."""
+    return _t(spark, d).groupBy("role").agg(F.count("*").alias("n"))
+
+
+# ---- joins ------------------------------------------------------------------
+
+def semi_join_completed(spark, d):
+    """J1: turns whose conversation exists & is completed — broadcast
+    left-semi (results-service.ts:57-68 existence check)."""
+    t, c = _t(spark, d), _c(spark, d)
+    dim = c.where(F.col("status") == "completed").select("conv_id")
+    return (
+        t.join(F.broadcast(dim), "conv_id", "left_semi")
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+def anti_join_cancelled(spark, d):
+    """J2: turns surviving a cascade delete of cancelled conversations
+    (queue-service.ts:250-277)."""
+    t, c = _t(spark, d), _c(spark, d)
+    dim = c.where(F.col("status") == "cancelled").select("conv_id")
+    return t.join(F.broadcast(dim), "conv_id", "left_anti").agg(
+        F.count("*").alias("surviving_turns")
+    )
+
+
+# ---- scalar-function queries -------------------------------------------------
+
+def rtl_flags(spark, d):
+    """E5: RTL detection over source names ([id]/page.tsx:100-103)."""
+    return _c(spark, d).select(
+        "conv_id",
+        "source_name",
+        F.col("source_name").rlike(RTL_DETECT_PATTERN).alias("is_rtl"),
+    )
+
+
+def arabic_numerals(spark, d):
+    """E6: digit mapping for ar/fa content ([id]/page.tsx:153-158)."""
+    return (
+        _t(spark, d)
+        .where(F.col("conv_id") == "conv00000004")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.translate(
+                F.col("turn_idx").cast("string"), "0123456789", ARABIC_NUMERALS
+            ).alias("turn_idx_ar"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Text analysis over the `documents` table — language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Every expression is a built-in JVM column function (regexp_count,
+translate, md5, length) so the whole module stays inside whole-stage
+codegen; each has an exact DuckDB-SQL twin in __spark_entry__.py.
+The regex patterns are chosen to mean the same thing in Java regex
+(Spark) and RE2 (DuckDB): literal char classes, \\p{L}, \\d, \\S only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+# script ranges as literal characters (identical bytes in both engines)
+ARABIC_CLASS = "[؀-ۿ]"
+CYRILLIC_CLASS = "[Ѐ-ӿ]"
+CJK_CLASS = "[一-鿿]"
+
+# tiny per-language stopword markers for the latin-script heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "las"],
+}
+
+# GPT-2-style coarse BPE pre-tokenizer (letters / digits / other runs)
+BPE_ISH = r"\p{L}+|\d+|[^\p{L}\d\s]+"
+WS_TOKEN = r"\S+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _word_pat(w: str) -> str:
+    # \b is identical in Java regex and RE2 for ASCII words
+    return rf"\b{w}\b"
+
+
+def _stop_hits(col, lang: str) -> F.Column:
+    total = None
+    for w in STOPWORDS[lang]:
+        c = F.regexp_count(col, F.lit(_word_pat(w)))
+        total = c if total is None else total + c
+    return total
+
+
+def lang_id(spark, sf_dir) -> DataFrame:
+    """n-gram/script heuristic language ID: script ratios decide
+    non-latin scripts, stopword votes break latin-script ties."""
+    d = _docs(spark, sf_dir)
+    text = F.lower(F.col("text"))
+    n = F.greatest(F.length(text), F.lit(1))
+    ar = F.regexp_count(text, F.lit(ARABIC_CLASS)) / n
+    cy = F.regexp_count(text, F.lit(CYRILLIC_CLASS)) / n
+    cjk = F.regexp_count(text, F.lit(CJK_CLASS)) / n
+
+    en = _stop_hits(text, "en")
+    de = _stop_hits(text, "de")
+    fr = _stop_hits(text, "fr")
+    es = _stop_hits(text, "es")
+    best_latin = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    pred = (
+        F.when(ar > 0.3, "ar")
+        .when(cy > 0.3, "ru")
+        .when(cjk > 0.3, "zh")
+        .otherwise(best_latin)
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic — the
+    standard pre-training text filters, one codegen'd projection."""
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    n = F.greatest(F.length(text), F.lit(1)).cast("double")
+    n_alpha = F.regexp_count(text, F.lit(r"\p{L}")).cast("double")
+    n_punct = F.regexp_count(text, F.lit(r"[^\p{L}\d\s]")).cast("double")
+    n_words = F.regexp_count(text, F.lit(WS_TOKEN)).cast("double")
+    n_stop = _stop_hits(F.lower(text), "en").cast("double")
+    mean_word_len = n_alpha / F.greatest(n_words, F.lit(1.0))
+    score = (
+        F.least(n / 500.0, F.lit(1.0)) * 0.25
+        + (n_alpha / n) * 0.35
+        + (F.lit(1.0) - F.least(n_punct / n * 10.0, F.lit(1.0))) * 0.2
+        + F.least(n_stop / F.greatest(n_words, F.lit(1.0)) * 5.0, F.lit(1.0))
+        * 0.2
+    )
+    return d.select(
+        "doc_id",
+        F.round(n_alpha / n, 6).alias("alpha_ratio"),
+        F.round(n_punct / n, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(spark, sf_dir) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(WS_TOKEN)).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(spark, sf_dir) -> DataFrame:
+    """Deterministic document fingerprints: md5 of the text and of the
+    whitespace-normalized text (the exact-dedup / lineage key)."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_exact"),
+        F.md5(norm).alias("fp_norm"),
+    )
+
+
+def rolling_fingerprint(spark, sf_dir, window: int = 8) -> DataFrame:
+    """Winnowing-style content fingerprint: min over rolling windows of
+    word-shingle hashes — shift-robust, JVM-side (no SQL oracle; the
+    property tests pin it)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    shingle_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 3), " "))
+    )
+    win_idx = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(shingle_hashes) - (window - 1), F.lit(1)),
+    )
+    mins = F.transform(
+        win_idx,
+        lambda i: F.array_min(F.slice(shingle_hashes, i, window)),
+    )
+    return d.select(
+        "doc_id", F.array_distinct(mins).alias("fingerprint_set")
+    )

@@ -1,0 +1,172 @@
+"""The resumable extraction job — claim loop over logical partitions.
+
+Mirrors the reference's queue semantics (SURVEY.md §2.9) on Spark:
+
+  * Q1 state machine + Q2 crash recovery: CheckpointStore;
+  * Q4 retries: failed partitions return to 'queued' with an attempt
+    counter, up to max_attempts (mistral.ts:9-10 maxRetries analog);
+  * Q6 chunk fan-out: logical partition = pmod(xxhash64(conv_id), P) —
+    conversations never straddle partitions, so per-conv assembly
+    stays partition-local; the salt keeps long conversations from
+    skewing *file* sizes (rows within a conv spread over input splits
+    are still processed by independent tasks — extraction is per-row);
+  * Q9 per-unit persistence: each partition's output becomes durable
+    (committed) independently; a crash loses at most in-flight
+    partitions, and re-running them is idempotent (S5 MERGE key).
+
+Efficiency at scale: the job makes ONE pass over the input per run —
+all uncommitted partitions are staged in a single Spark write with
+``partitionBy(pid)`` (each task writes only its partitions' files),
+then promoted per-partition. Resume scans only the pruned subset
+(pid pushdown via pmod filter at the scan).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from v2_ocr_spark.operators.extract import extract_turns
+from v2_ocr_spark.pipeline.sink import (
+    COMPLETED,
+    ERROR,
+    PROCESSING,
+    QUEUED,
+    CheckpointStore,
+    MergeSink,
+)
+
+
+def partition_id(col: str = "conv_id", num_partitions: int = 32) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_partitions)).cast("int")
+
+
+class ExtractionJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        out_dir: str,
+        num_partitions: int = 32,
+        max_attempts: int = 3,
+    ):
+        self.spark = spark
+        self.input_path = input_path
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.max_attempts = max_attempts
+        self.sink = MergeSink(out_dir)
+        self.checkpoints = CheckpointStore(out_dir)
+
+    # ---------------------------------------------------------------
+
+    def pending_partitions(self) -> list[int]:
+        committed = set(self.sink.committed())
+        pending = []
+        for pid in range(self.num_partitions):
+            if pid in committed:
+                continue
+            state = self.checkpoints.get(pid)
+            if state["status"] == ERROR and state["attempt"] >= self.max_attempts:
+                continue  # exhausted retries; stays visible in checkpoints
+            pending.append(pid)
+        return pending
+
+    def _stage(self, run_id: str, pids: list[int],
+               fault: Callable[[DataFrame], DataFrame] | None) -> None:
+        df = self.spark.read.parquet(self.input_path)
+        df = df.withColumn("pid", partition_id("conv_id", self.num_partitions))
+        if len(pids) < self.num_partitions:
+            df = df.where(F.col("pid").isin(pids))  # resume: pruned rescan
+        extracted = extract_turns(
+            df.select("conv_id", "turn_idx", "role", "text", "tool"),
+            with_metrics=True,
+        ).withColumn("pid", partition_id("conv_id", self.num_partitions))
+        if fault is not None:
+            extracted = fault(extracted)
+        (
+            extracted
+            .repartition("pid")
+            .sortWithinPartitions("conv_id", "turn_idx")  # W1 at rest
+            .write.partitionBy("pid")
+            .mode("overwrite")
+            .parquet(self.sink.staging_dir(run_id))
+        )
+
+    def _partition_metrics(self, run_id: str, pid: int) -> dict:
+        p = os.path.join(self.sink.staging_dir(run_id), f"pid={pid}")
+        if not os.path.isdir(p):
+            return {"turns_seen": 0, "blocks_kept": 0, "blocks_dropped": 0,
+                    "chars_in": 0, "chars_out": 0, "proc_ms": 0}
+        row = (
+            self.spark.read.parquet(p)
+            .agg(
+                F.count("*").alias("turns"),
+                F.sum("n_spans").alias("kept"),
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
+                F.sum("chars_in").alias("ci"),
+                F.sum("chars_out").alias("co"),
+                F.sum("proc_us").alias("us"),
+            )
+            .collect()[0]
+        )
+        return {
+            "turns_seen": row.turns or 0,
+            "blocks_kept": int(row.kept or 0),
+            "blocks_dropped": int(row.errs or 0),
+            "chars_in": int(row.ci or 0),
+            "chars_out": int(row.co or 0),
+            "proc_ms": int((row.us or 0) // 1000),
+        }
+
+    # ---------------------------------------------------------------
+
+    def run(
+        self,
+        fault: Callable[[DataFrame], DataFrame] | None = None,
+        fail_before_promote: set[int] | None = None,
+    ) -> dict:
+        """One claim-loop pass. Returns a summary. ``fault`` /
+        ``fail_before_promote`` are test hooks for crash injection."""
+        run_id = uuid.uuid4().hex[:12]
+        self.checkpoints.recover()  # Q2
+        pids = self.pending_partitions()
+        if not pids:
+            return {"run_id": run_id, "committed": [], "status": "up-to-date"}
+
+        for pid in pids:
+            st = self.checkpoints.get(pid)
+            self.checkpoints.set(
+                pid, status=PROCESSING, run_id=run_id,
+                attempt=st["attempt"] + 1, started_at=time.time(),
+            )
+
+        try:
+            self._stage(run_id, pids, fault)
+        except Exception as exc:  # noqa: BLE001
+            for pid in pids:
+                self.checkpoints.set(
+                    pid, status=ERROR, error=f"{type(exc).__name__}: {exc}",
+                )
+            raise
+
+        committed = []
+        for pid in pids:
+            if fail_before_promote and pid in fail_before_promote:
+                raise RuntimeError(f"injected crash before promoting pid={pid}")
+            metrics = self._partition_metrics(run_id, pid)
+            commit = self.sink.promote(run_id, pid, metrics)
+            self.checkpoints.set(
+                pid, status=COMPLETED, completed_at=time.time(),
+                snapshot_id=commit["snapshot_id"],
+            )
+            committed.append(pid)
+        return {"run_id": run_id, "committed": committed, "status": "ok"}
+
+    def read_output(self) -> DataFrame:
+        return self.sink.read(self.spark)
