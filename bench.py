@@ -57,7 +57,12 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         return out
 
-    transcripts = spark.read.parquet(transcripts_path)
+    # local-mode split supply: the sf0.1 table is one small parquet file
+    # (1-2 scan tasks); at 100 TB the scan has millions of natural splits,
+    # so spread it across tasks the way a real input layout would.
+    transcripts = spark.read.parquet(transcripts_path).repartition(
+        4 * int(CPUS)
+    )
     n_turns = transcripts.count()
 
     # headline: full extraction pass (count forces materialization of
