@@ -149,6 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_cancelled": _rel(relational.anti_join_cancelled),
         "rtl_flags": _rel(relational.rtl_flags),
         "arabic_numerals": _rel(relational.arabic_numerals),
+        "safe_names": _rel(relational.safe_names),
+        "human_sizes": _rel(relational.human_sizes),
+        "durations": _rel(relational.durations),
+        "eta_estimate": _rel(relational.eta_estimate),
         # dedup (documents table)
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -330,6 +334,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, "
             "translate(CAST(turn_idx AS VARCHAR), '0123456789', '٠١٢٣٤٥٦٧٨٩') "
             f"AS turn_idx_ar FROM {_T} WHERE conv_id = 'conv00000004'"
+        ),
+        "safe_names": (
+            "WITH s AS (SELECT conv_id, source_name, "
+            "trim(regexp_replace(regexp_replace(regexp_replace(source_name, "
+            r"'[<>:\"/\\|?*]', '', 'g'), '^\.+', ''), "
+            f"'[{JS_WS}]+', ' ', 'g'), '{JS_WS}') AS sn FROM {_C}), "
+            "p AS (SELECT conv_id, source_name, sn, "
+            "CASE WHEN strpos(reverse(sn), '.') > 0 "
+            "THEN length(sn) - strpos(reverse(sn), '.') + 1 ELSE 0 END AS ld "
+            "FROM s) "
+            "SELECT conv_id, source_name, CASE "
+            f"WHEN source_name IS NULL OR trim(source_name, '{JS_WS}') = '' "
+            "OR sn = '' THEN 'Export_16-08-2026' "
+            "WHEN ld = 1 THEN sn "
+            "WHEN ld > 1 THEN substr(replace(substr(sn, 1, ld - 1), '.', '_'), 1, 251) "
+            "ELSE substr(sn, 1, 251) END AS safe_name FROM p"
+        ),
+        "human_sizes": (
+            "SELECT conv_id, size_bytes, CASE WHEN size_bytes = 0 THEN '0 B' "
+            "ELSE regexp_replace(CAST(round(size_bytes / "
+            "power(1024, floor(ln(size_bytes) / ln(1024))), 2) AS VARCHAR), "
+            r"'\.?0+$', '') || ' ' || "
+            "(['B','KB','MB','GB','TB'])"
+            "[CAST(floor(ln(size_bytes) / ln(1024)) AS INT) + 1] "
+            f"END AS human_size FROM {_C}"
+        ),
+        "durations": (
+            "WITH m AS (SELECT conv_id, "
+            "(CAST(epoch(processing_completed_at) AS BIGINT) - "
+            "CAST(epoch(processing_started_at) AS BIGINT)) * 1000 AS ms "
+            f"FROM {_C} WHERE status = 'completed') "
+            "SELECT conv_id, CASE WHEN ms < 1000 THEN ms || 'ms' "
+            "WHEN ms // 1000 // 60 // 60 > 0 THEN (ms // 1000 // 60 // 60) || 'h ' "
+            "|| ((ms // 1000 // 60) % 60) || 'm ' || ((ms // 1000) % 60) || 's' "
+            "WHEN ms // 1000 // 60 > 0 THEN (ms // 1000 // 60) || 'm ' "
+            "|| ((ms // 1000) % 60) || 's' "
+            "ELSE (ms // 1000) || 's' END AS duration_fmt FROM m"
+        ),
+        "eta_estimate": (
+            "SELECT conv_id, CAST(2000 + ceil(size_bytes / 1048576.0 * 10) "
+            f"* 2000 AS BIGINT) AS eta_ms FROM {_C}"
         ),
         # ---- dedup (documents view) ----
         "dedup_exact": (

@@ -1,0 +1,111 @@
+"""S5 merge-upsert / S7 delete cascade / S8 retention — row-level
+operations on the committed output, with idempotence checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from v2_ocr_spark.pipeline.maintenance import (
+    delete_conversations,
+    merge_upsert,
+    retention_cleanup,
+)
+from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+NP = 8
+
+
+@pytest.fixture()
+def populated(spark, sf_small, tmp_path):
+    out = str(tmp_path / "table")
+    job = ExtractionJob(
+        spark, f"{sf_small}/transcripts.parquet", out, num_partitions=NP
+    )
+    job.run()
+    return out, job
+
+
+def test_merge_upsert_updates_and_inserts(spark, populated):
+    out, job = populated
+    before = job.read_output()
+    n0 = before.count()
+    updates = spark.createDataFrame(
+        [
+            ("conv00000001", 1, "PATCHED", None),   # update existing
+            ("convnew00", 1, "BRAND NEW", None),     # insert new conv
+        ],
+        "conv_id string, turn_idx int, extracted_text string, error string",
+    )
+    res = merge_upsert(spark, out, updates, num_partitions=NP)
+    assert res["rewritten"]
+    after = job.read_output()
+    assert after.count() == n0 + 1
+    got = {
+        (r.conv_id, r.turn_idx): r.extracted_text
+        for r in after.where(
+            F.col("conv_id").isin("conv00000001", "convnew00")
+            & (F.col("turn_idx") == 1)
+        ).collect()
+    }
+    assert got[("conv00000001", 1)] == "PATCHED"
+    assert got[("convnew00", 1)] == "BRAND NEW"
+
+
+def test_merge_upsert_idempotent(spark, populated):
+    out, job = populated
+    updates = spark.createDataFrame(
+        [("conv00000002", 1, "X", None)],
+        "conv_id string, turn_idx int, extracted_text string, error string",
+    )
+    merge_upsert(spark, out, updates, num_partitions=NP)
+    snap1 = (
+        job.read_output()
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+    )
+    merge_upsert(spark, out, updates, num_partitions=NP)
+    snap2 = (
+        job.read_output()
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+    )
+    assert snap1.equals(snap2)
+    dups = (
+        job.read_output()
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dups == 0
+
+
+def test_delete_cascade(spark, populated):
+    out, job = populated
+    assert job.read_output().where("conv_id = 'conv00000003'").count() > 0
+    res = delete_conversations(spark, out, ["conv00000003"], num_partitions=NP)
+    assert len(res["rewritten"]) == 1  # only the owning partition rewritten
+    after = job.read_output()
+    assert after.where("conv_id = 'conv00000003'").count() == 0
+    # other conversations untouched
+    assert after.where("conv_id = 'conv00000001'").count() > 0
+
+
+def test_retention_cleanup(spark, populated, sf_small):
+    out, job = populated
+    conv = spark.read.parquet(f"{sf_small}/conversations.parquet")
+    old_ids = [
+        r.conv_id
+        for r in conv.where("created_at < timestamp '2025-01-01 02:00:00'")
+        .select("conv_id")
+        .collect()
+    ]
+    assert old_ids
+    retention_cleanup(
+        spark, out, conv, "2025-01-01 02:00:00", num_partitions=NP
+    )
+    after = job.read_output()
+    assert after.where(F.col("conv_id").isin(old_ids)).count() == 0

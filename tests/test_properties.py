@@ -1,0 +1,160 @@
+"""Property-based tests (SURVEY.md §5.2 item 6) — hypothesis over the
+pure kernels; no SparkSession needed."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from v2_ocr_spark.kernels.blocks import is_rtl, reassemble_blocks
+from v2_ocr_spark.kernels.markdown import (
+    JS_WS,
+    clean_markdown,
+    js_trim,
+    paragraph_spans,
+)
+from v2_ocr_spark.kernels.textfns import safe_download_name, to_arabic_numerals
+
+MARKDOWNISH = st.lists(
+    st.sampled_from(
+        list("abc $![]()\\{}\n\t\ufeff ")
+        + ["$$", "![x](y)", "\\begin{aligned}", "\\end{aligned}"]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@given(MARKDOWNISH)
+@settings(max_examples=300, deadline=None)
+def test_e1_idempotent(s):
+    once = clean_markdown(s)
+    assert clean_markdown(once) == once
+
+
+@given(MARKDOWNISH)
+@settings(max_examples=300, deadline=None)
+def test_e1_never_longer_than_input(s):
+    assert len(clean_markdown(s)) <= len(s)
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_e1_preserves_plain_text(s):
+    """Text with no markdown markers and no JS whitespace at the edges
+    passes through unchanged."""
+    if any(m in s for m in ("![", "$$", "\\begin{aligned}")):
+        return
+    trimmed = js_trim(s)
+    assert clean_markdown(trimmed) == trimmed
+
+
+@given(MARKDOWNISH)
+@settings(max_examples=200, deadline=None)
+def test_e1_trim_is_js_trim(s):
+    out = clean_markdown(s)
+    assert out == out.strip(JS_WS)
+
+
+@given(MARKDOWNISH)
+@settings(max_examples=200, deadline=None)
+def test_spans_partition_cleaned_text(s):
+    cleaned = clean_markdown(s)
+    spans = paragraph_spans(cleaned)
+    prev = -1
+    for start, end, kind in spans:
+        assert 0 <= start < end <= len(cleaned)
+        assert start > prev
+        prev = end
+        seg = cleaned[start:end]
+        assert "\n\n" not in seg
+
+
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lo"), max_codepoint=0x6FF),
+    min_size=1,
+    max_size=8,
+)
+BLOCKS = st.fixed_dictionaries(
+    {
+        "language": st.sampled_from(["ar", "en", "fa", "he", "fr", "AR-sa", "de"]),
+        "regions": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "lines": st.lists(
+                        st.fixed_dictionaries(
+                            {
+                                "words": st.lists(
+                                    st.fixed_dictionaries({"text": WORD}),
+                                    min_size=1,
+                                    max_size=5,
+                                )
+                            }
+                        ),
+                        max_size=3,
+                    )
+                }
+            ),
+            max_size=3,
+        ),
+    }
+)
+
+
+@given(BLOCKS)
+@settings(max_examples=200, deadline=None)
+def test_e3_word_multiset_preserved(doc):
+    """Reassembly reorders words (RTL) but never adds/drops/edits them."""
+    payload = json.dumps(doc, ensure_ascii=False)
+    text, spans = reassemble_blocks(payload)
+    expected_words = sorted(
+        w["text"]
+        for r in doc["regions"]
+        for ln in r["lines"]
+        for w in ln["words"]
+    )
+    got_words = sorted(w for w in text.replace("\n", " ").split(" ") if w)
+    # empty-word entries collapse; filter both sides the same way
+    assert got_words == sorted(w for w in expected_words if w)
+
+
+@given(BLOCKS)
+@settings(max_examples=100, deadline=None)
+def test_e3_rtl_reverses_ltr_keeps(doc):
+    payload = json.dumps(doc, ensure_ascii=False)
+    text, _ = reassemble_blocks(payload)
+    lines = [
+        [w["text"] for w in ln["words"]]
+        for r in doc["regions"]
+        for ln in r["lines"]
+    ]
+    got_lines = [ln.split(" ") for ln in text.split("\n") if ln != ""]
+    src = [ln for ln in lines if ln]
+    if is_rtl(doc["language"]):
+        src = [list(reversed(ln)) for ln in src]
+    # compare only when no empty words distort the split
+    if all(all(w for w in ln) for ln in lines):
+        assert got_lines == [ln for ln in src if ln != [""]]
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.sampled_from(["ar", "fa", "en", "he", "de"]))
+@settings(max_examples=200, deadline=None)
+def test_e6_numerals_roundtrip(n, lang):
+    out = to_arabic_numerals(n, lang)
+    assert len(out) == len(str(n))
+    if lang in ("ar", "fa"):
+        back = out.translate(str.maketrans("٠١٢٣٤٥٦٧٨٩", "0123456789"))
+        assert back == str(n)
+    else:
+        assert out == str(n)
+
+
+@given(st.one_of(st.none(), st.text(max_size=300)))
+@settings(max_examples=300, deadline=None)
+def test_e7_always_safe(name):
+    out = safe_download_name(name, "16-08-2026")
+    assert out
+    assert len(out) <= 251
+    assert not any(c in out for c in '<>:"/\\|?*')

@@ -283,3 +283,106 @@ def arabic_numerals(spark, d):
             ).alias("turn_idx_ar"),
         )
     )
+
+
+# ---- E7 / E10 / A7 — sanitization, human formatting, ETA ------------------
+
+def _js_ws_class() -> str:
+    import re as _re
+
+    from v2_ocr_spark.kernels.markdown import JS_WS
+
+    return "[" + _re.escape(JS_WS) + "]"
+
+
+def safe_names(spark, d):
+    """E7 distributed: sanitize source names for export
+    (lib/utils.ts:29-71), fallback date injected for determinism."""
+    from v2_ocr_spark.kernels.markdown import JS_WS
+
+    fallback = F.lit("Export_16-08-2026")
+    raw = F.col("source_name")
+    s = F.regexp_replace(raw, '[<>:"/\\\\|?*]', "")
+    s = F.regexp_replace(s, r"^\.+", "")
+    s = F.regexp_replace(s, _js_ws_class() + "+", " ")
+    s = F.btrim(s, F.lit(JS_WS))
+    # last '.' position (1-based; 0 = none)
+    last_dot = F.when(
+        F.locate(".", F.reverse(s)) > 0,
+        F.length(s) - F.locate(".", F.reverse(s)) + 1,
+    ).otherwise(F.lit(0))
+    stem = F.translate(F.substring(s, 1, last_dot - 1), ".", "_")
+    named = (
+        F.when(last_dot == 1, s)
+        .when(last_dot > 1, F.substring(stem, 1, 251))
+        .otherwise(F.substring(s, 1, 251))
+    )
+    out = F.when(
+        raw.isNull() | (F.btrim(raw, F.lit(JS_WS)) == "") | (s == ""),
+        fallback,
+    ).otherwise(named)
+    return _c(spark, d).select("conv_id", "source_name", out.alias("safe_name"))
+
+
+def _strip_zeros(col: F.Column) -> F.Column:
+    return F.regexp_replace(col.cast("string"), r"\.?0+$", "")
+
+
+def human_sizes(spark, d):
+    """E10: bytes -> '1.5 KB' style, exact reference semantics
+    (lib/file-utils.ts:94-100: floor(log1024), toFixed(2), parseFloat)."""
+    b = F.col("size_bytes").cast("double")
+    i = F.floor(F.log(b) / F.log(F.lit(1024.0))).cast("int")
+    unit = F.element_at(
+        F.array(F.lit("B"), F.lit("KB"), F.lit("MB"), F.lit("GB"), F.lit("TB")),
+        i + 1,
+    )
+    val = _strip_zeros(F.round(b / F.pow(F.lit(1024.0), i.cast("double")), 2))
+    fmt = F.when(F.col("size_bytes") == 0, F.lit("0 B")).otherwise(
+        F.concat(val, F.lit(" "), unit)
+    )
+    return _c(spark, d).select("conv_id", "size_bytes", fmt.alias("human_size"))
+
+
+def durations(spark, d):
+    """E10 duration variant (file-utils.ts:102-116) over completed
+    conversations' processing time."""
+    ms = (
+        (_epoch("processing_completed_at") - _epoch("processing_started_at"))
+        * 1000
+    )
+    sec = F.floor(ms / 1000).cast("long")
+    mins = F.floor(sec / 60).cast("long")
+    hours = F.floor(mins / 60).cast("long")
+    fmt = (
+        F.when(ms < 1000, F.concat(ms.cast("string"), F.lit("ms")))
+        .when(
+            hours > 0,
+            F.concat(
+                hours.cast("string"), F.lit("h "),
+                (mins % 60).cast("string"), F.lit("m "),
+                (sec % 60).cast("string"), F.lit("s"),
+            ),
+        )
+        .when(
+            mins > 0,
+            F.concat(
+                mins.cast("string"), F.lit("m "),
+                (sec % 60).cast("string"), F.lit("s"),
+            ),
+        )
+        .otherwise(F.concat(sec.cast("string"), F.lit("s")))
+    )
+    return (
+        _c(spark, d)
+        .where(F.col("status") == "completed")
+        .select("conv_id", fmt.alias("duration_fmt"))
+    )
+
+
+def eta_estimate(spark, d):
+    """A7: processing-time heuristic (file-utils.ts:118-127):
+    2000 ms base + ceil(MB*10 pages)*2000 ms."""
+    mb = F.col("size_bytes").cast("double") / F.lit(1048576.0)
+    eta = (F.lit(2000) + F.ceil(mb * 10) * 2000).cast("long")
+    return _c(spark, d).select("conv_id", eta.alias("eta_ms"))

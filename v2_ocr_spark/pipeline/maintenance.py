@@ -1,0 +1,146 @@
+"""Table-maintenance operations on the merge sink — the Iceberg
+row-level-operation stand-ins.
+
+  * merge_upsert  — S5 (results-service.ts:51-148): idempotent upsert of
+    update rows keyed (conv_id, turn_idx); re-applying the same batch is
+    a no-op. Iceberg equivalent: MERGE INTO ... WHEN MATCHED UPDATE.
+  * delete_conversations — S7 cascade delete (queue-service.ts:233-283):
+    removes every turn of the given conversations.
+    Iceberg equivalent: DELETE FROM extracted WHERE conv_id IN (...).
+  * retention_cleanup — S8 (stats-service.ts:143-201): drop turns of
+    conversations created before a cutoff.
+
+All three rewrite ONLY the partitions that contain affected rows
+(pmod(xxhash64(conv_id), P) pins each conversation to one partition),
+then commit each rewritten partition atomically — the copy-on-write
+pattern Iceberg uses, at per-partition granularity. Untouched
+partitions keep their snapshots: at 100 TB a delete of one conversation
+rewrites 1/P of the table, not all of it.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from v2_ocr_spark.pipeline.runner import partition_id
+from v2_ocr_spark.pipeline.sink import MergeSink
+
+
+def _affected_pids(keys: DataFrame, num_partitions: int) -> list[int]:
+    return [
+        r.pid
+        for r in keys.select(
+            partition_id("conv_id", num_partitions).alias("pid")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
+def _rewrite_partitions(
+    spark: SparkSession,
+    sink: MergeSink,
+    new_rows: DataFrame,
+    pids: list[int],
+    num_partitions: int,
+    op: str,
+) -> dict:
+    """Copy-on-write: stage replacement files for the affected
+    partitions, then promote each atomically."""
+    run_id = f"{op}-{uuid.uuid4().hex[:8]}"
+    (
+        new_rows.withColumn("pid", partition_id("conv_id", num_partitions))
+        .repartition("pid")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.partitionBy("pid")
+        .mode("overwrite")
+        .parquet(sink.staging_dir(run_id))
+    )
+    committed = []
+    for pid in pids:
+        n = 0
+        try:
+            n = spark.read.parquet(
+                f"{sink.staging_dir(run_id)}/pid={pid}"
+            ).count()
+        except Exception:  # noqa: BLE001 — partition emptied entirely
+            pass
+        sink.promote(
+            run_id, pid, {"op": op, "rows_after": n, "at": time.time()}
+        )
+        committed.append(pid)
+    return {"run_id": run_id, "rewritten": committed}
+
+
+def merge_upsert(
+    spark: SparkSession,
+    out_dir: str,
+    updates: DataFrame,
+    num_partitions: int = 32,
+) -> dict:
+    """MERGE updates INTO extracted ON (conv_id, turn_idx) —
+    matched rows replaced, new rows inserted, everything idempotent."""
+    sink = MergeSink(out_dir)
+    pids = _affected_pids(updates.select("conv_id").distinct(), num_partitions)
+    current = sink.read(spark).where(
+        partition_id("conv_id", num_partitions).isin(pids)
+    )
+    upd_cols = set(updates.columns) - {"conv_id", "turn_idx"}
+    merged = (
+        current.alias("t")
+        .join(updates.alias("s"), ["conv_id", "turn_idx"], "full_outer")
+        .select(
+            "conv_id",
+            "turn_idx",
+            *[
+                (
+                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                    if c in upd_cols
+                    else F.col(f"t.{c}")
+                ).alias(c)
+                for c in current.columns
+                if c not in ("conv_id", "turn_idx")
+            ],
+        )
+    )
+    return _rewrite_partitions(spark, sink, merged, pids, num_partitions, "merge")
+
+
+def delete_conversations(
+    spark: SparkSession,
+    out_dir: str,
+    conv_ids: list[str],
+    num_partitions: int = 32,
+) -> dict:
+    sink = MergeSink(out_dir)
+    keys = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    pids = _affected_pids(keys, num_partitions)
+    survivors = sink.read(spark).where(
+        partition_id("conv_id", num_partitions).isin(pids)
+        & ~F.col("conv_id").isin(conv_ids)
+    )
+    return _rewrite_partitions(
+        spark, sink, survivors, pids, num_partitions, "delete"
+    )
+
+
+def retention_cleanup(
+    spark: SparkSession,
+    out_dir: str,
+    conversations: DataFrame,
+    cutoff: str,
+    num_partitions: int = 32,
+) -> dict:
+    """Drop turns of conversations created before the cutoff timestamp
+    (S8; the conversations dim supplies created_at)."""
+    old = conversations.where(
+        F.col("created_at") < F.lit(cutoff).cast("timestamp")
+    ).select("conv_id")
+    ids = [r.conv_id for r in old.collect()]
+    if not ids:
+        return {"run_id": None, "rewritten": []}
+    return delete_conversations(spark, out_dir, ids, num_partitions)
