@@ -153,6 +153,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "human_sizes": _rel(relational.human_sizes),
         "durations": _rel(relational.durations),
         "eta_estimate": _rel(relational.eta_estimate),
+        "validity_check": _rel(relational.validity_check),
+        "camel_case_view": _rel(relational.camel_case_view),
+        "status_labels": _rel(relational.status_labels),
+        # events table (stream-shaped batch analytics)
+        "events_by_type": relational.events_by_type,
+        "events_daily": relational.events_daily,
+        "sessionize": relational.sessionize,
+        "top_events_per_user": relational.top_events_per_user,
         # dedup (documents table)
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -375,6 +383,52 @@ def oracle_sql() -> dict[str, str]:
         "eta_estimate": (
             "SELECT conv_id, CAST(2000 + ceil(size_bytes / 1048576.0 * 10) "
             f"* 2000 AS BIGINT) AS eta_ms FROM {_C}"
+        ),
+        "validity_check": (
+            "SELECT conv_id, turn_idx, "
+            "(length(coalesce(text, '')) <= 65536 AND "
+            "role IN ('user','assistant','tool')) AS is_valid "
+            f"FROM {_T}"
+        ),
+        "camel_case_view": (
+            'SELECT conv_id, source_name AS "sourceName", '
+            'total_turns AS "totalTurns", '
+            'CAST(epoch(created_at) AS BIGINT) AS "createdAt" '
+            f"FROM {_C}"
+        ),
+        "status_labels": (
+            "SELECT conv_id, status, CASE "
+            "WHEN status = 'completed' THEN 'Completed' "
+            "WHEN status = 'processing' THEN 'Processing' "
+            "WHEN status IN ('queued','pending') THEN 'Waiting' "
+            "WHEN status = 'cancelled' THEN 'Cancelled' "
+            f"ELSE 'Failed' END AS label FROM {_C}"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_daily": (
+            "SELECT CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400) AS BIGINT) "
+            "AS day_num, count(*) AS n FROM events GROUP BY 1"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, "
+            "CASE WHEN CAST(epoch(ts) AS BIGINT) - "
+            "lag(CAST(epoch(ts) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess FROM events) "
+            "SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM g GROUP BY user_id"
+        ),
+        "top_events_per_user": (
+            "WITH r AS (SELECT user_id, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rk "
+            "FROM events WHERE user_id < 10) "
+            "SELECT user_id, CAST(rk AS INT) AS rk, event_id, event_type "
+            "FROM r WHERE rk <= 2 ORDER BY user_id, rk"
         ),
         # ---- dedup (documents view) ----
         "dedup_exact": (

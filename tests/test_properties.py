@@ -29,6 +29,13 @@ MARKDOWNISH = st.lists(
 @given(MARKDOWNISH)
 @settings(max_examples=300, deadline=None)
 def test_e1_idempotent(s):
+    """Cleanup is a fixpoint EXCEPT when a replacement manufactures a
+    new aligned pair (JS replace resumes after each substitution, so
+    nested \begin{aligned} blocks unwrap one level per pass — pinned
+    as the golden case nested_aligned_single_pass). Restrict the
+    property to inputs that can't manufacture pairs."""
+    if s.count("\\begin{aligned}") > 1:
+        return
     once = clean_markdown(s)
     assert clean_markdown(once) == once
 

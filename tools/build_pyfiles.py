@@ -1,0 +1,27 @@
+"""Build dist/v2_ocr_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    os.makedirs(os.path.join(ROOT, "dist"), exist_ok=True)
+    out = os.path.join(ROOT, "dist", "v2_ocr_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(os.path.join(ROOT, "v2_ocr_spark")):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

