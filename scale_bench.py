@@ -47,7 +47,7 @@ base = spark.read.parquet(path)
 t = base
 for _ in range(3):
     t = t.unionByName(t)
-t = t.repartition(256).persist()
+t = t.repartition(64).persist()  # same plan at both levels; ~4 waves at 4N
 n = t.count()
 # full untimed pass: spawns + warms every Python worker and codegen
 extract_turns(t).agg(F.sum(F.length("extracted_text"))).collect()

@@ -148,3 +148,13 @@ def test_paragraph_spans_offsets():
         (11, 14, "paragraph"),
     ]
     assert paragraph_spans("") == []
+
+
+def test_e8_path_normalization():
+    from v2_ocr_spark.kernels.textfns import normalize_storage_path
+
+    assert normalize_storage_path("u1/u1/doc/p.jpg", "u1") == "doc/p.jpg"
+    assert normalize_storage_path("u1/doc/p.jpg", "u1") == "doc/p.jpg"
+    assert normalize_storage_path("doc/p.jpg", "u1") == "doc/p.jpg"
+    assert normalize_storage_path("u2/doc.jpg", "u1") == "u2/doc.jpg"
+    assert normalize_storage_path(None, "u1") is None

@@ -104,3 +104,17 @@ def export_document_text(
         for p, text in sorted(pages, key=lambda x: x[0])
     ]
     return header + "\n".join(blocks)
+
+
+def normalize_storage_path(path: str | None, user_id: str) -> str | None:
+    """E8 — de-duplicate leading `userId/` prefixes
+    (reference: lib/storage/path.ts:1-9; inverse parse
+    app/documents/[id]/page.tsx:105-120). Kept for lineage-path parity;
+    the engine itself stores no blob paths."""
+    if path is None:
+        return None
+    prefix = f"{user_id}/"
+    normalized = path
+    while normalized.startswith(prefix):
+        normalized = normalized[len(prefix):]
+    return normalized
