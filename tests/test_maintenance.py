@@ -109,3 +109,21 @@ def test_retention_cleanup(spark, populated, sf_small):
     )
     after = job.read_output()
     assert after.where(F.col("conv_id").isin(old_ids)).count() == 0
+
+
+def test_backfill_column(spark, populated):
+    from v2_ocr_spark.pipeline.maintenance import backfill_column
+
+    out, job = populated
+    n0 = job.read_output().count()
+    backfill_column(
+        spark, out, "text_len",
+        F.length(F.coalesce("extracted_text", F.lit(""))), num_partitions=NP,
+    )
+    after = job.read_output()
+    assert after.count() == n0
+    assert "text_len" in after.columns
+    bad = after.where(
+        F.col("text_len") != F.length(F.coalesce("extracted_text", F.lit("")))
+    ).count()
+    assert bad == 0

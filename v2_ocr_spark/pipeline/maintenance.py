@@ -144,3 +144,23 @@ def retention_cleanup(
     if not ids:
         return {"run_id": None, "rewritten": []}
     return delete_conversations(spark, out_dir, ids, num_partitions)
+
+
+def backfill_column(
+    spark: SparkSession,
+    out_dir: str,
+    col_name: str,
+    expr: F.Column,
+    num_partitions: int = 32,
+) -> dict:
+    """S11 — schema-evolution backfill (reference:
+    dist/scripts/migrate-base64-to-storage.js:44-120 migrates a column
+    across all rows). Adds/replaces a derived column over every
+    committed partition via the same copy-on-write rewrite; on Iceberg
+    this is ``ALTER TABLE ADD COLUMN`` + ``UPDATE``, metadata-cheap."""
+    sink = MergeSink(out_dir)
+    pids = sorted(sink.committed())
+    rewritten = sink.read(spark).withColumn(col_name, expr)
+    return _rewrite_partitions(
+        spark, sink, rewritten, pids, num_partitions, "backfill"
+    )
