@@ -410,8 +410,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "events_daily": (
-            "SELECT CAST(floor(CAST(epoch(ts) AS BIGINT) / 86400) AS BIGINT) "
-            "AS day_num, count(*) AS n FROM events GROUP BY 1"
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "count(*) AS n FROM events GROUP BY 1"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, "

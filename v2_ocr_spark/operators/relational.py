@@ -151,7 +151,12 @@ def range_filter(spark, d):
     """P4: created_at < cutoff (retention scan, stats-service.ts:163-167)."""
     return (
         _c(spark, d)
-        .where(F.col("created_at") < F.lit("2025-01-03 00:00:00").cast("timestamp"))
+        # the +00:00 offset pins the instant regardless of the session
+        # timezone (a bare literal would parse in local time)
+        .where(
+            F.col("created_at")
+            < F.lit("2025-01-03 00:00:00+00:00").cast("timestamp")
+        )
         .select("conv_id", _epoch("created_at").alias("created_epoch"))
     )
 
@@ -454,12 +459,12 @@ def events_by_type(spark, sf_dir):
 def events_daily(spark, sf_dir):
     """Event-time day rollup — the batch shape of a streaming windowed
     count (no unbounded source in the reference, SURVEY §2.9)."""
-    # day bucket as floor(epoch/86400): timezone- and engine-independent
+    # events.ts is TIMESTAMP_NTZ (wall-clock, no zone): to_date on NTZ
+    # is timezone-free in BOTH engines, so the bucket is stable no
+    # matter what session timezone the caller's SparkSession uses
     return (
         _e(spark, sf_dir)
-        .groupBy(
-            F.floor(_ntz_epoch("ts") / 86400).cast("long").alias("day_num")
-        )
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
         .agg(F.count("*").alias("n"))
     )
 
