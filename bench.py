@@ -65,8 +65,9 @@ def main() -> None:
     # scan parallelism comes from byte-range splits at row-group
     # boundaries (session.py sizes maxPartitionBytes for local mode) —
     # no shuffle, matching how a 100 TB scan parallelizes naturally
-    transcripts = spark.read.parquet(transcripts_path)
-    n_turns = transcripts.count()
+    transcripts = spark.read.parquet(transcripts_path).persist()
+    n_turns = transcripts.count()  # materializes the cache: the
+    # headline measures extraction compute, not cold-disk variance
 
     # headline: full extraction pass (count forces materialization of
     # every cleaned turn + spans)
@@ -75,6 +76,7 @@ def main() -> None:
         lambda: extract_turns(transcripts)
         .agg(F.sum(F.length("extracted_text")), F.sum(F.size("spans")))
         .collect(),
+        runs=3,
     )
     timed(
         "assemble_documents",

@@ -219,7 +219,8 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate pairs with word-shingle Jaccard >= threshold,
     found via MinHash-LSH candidates + exact verification."""
-    docs = _docs(spark, sf_dir)
+    # docs feed both the signature pass and the verify join-back
+    docs = _docs(spark, sf_dir).persist()
     # cache the one-pass signatures: they feed 64 band projections
     sig = minhash_signatures(docs, num_hashes, shingle_n).persist()
     cand = lsh_candidate_pairs(sig, rows_per_band, num_hashes).persist()
