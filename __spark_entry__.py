@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": relational.events_daily,
         "sessionize": relational.sessionize,
         "top_events_per_user": relational.top_events_per_user,
+        "status_rollup": _rel(relational.status_rollup),
+        "distinct_users": relational.distinct_users,
+        "value_percentiles": relational.value_percentiles,
         # dedup (documents table)
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -421,6 +424,22 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS new_sess FROM events) "
             "SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM g GROUP BY user_id"
+        ),
+        "status_rollup": (
+            "SELECT status, "
+            "CAST(is_done AS VARCHAR) AS is_done, count(*) AS n FROM ("
+            "SELECT status, status IN ('completed','failed','error') AS is_done "
+            f"FROM {_C}) GROUP BY ROLLUP (status, is_done)"
+        ),
+        "distinct_users": (
+            "SELECT count(DISTINCT user_id) AS n_users, "
+            "count(DISTINCT event_type) AS n_types FROM events"
+        ),
+        "value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.95), 6) AS p95 "
+            "FROM events GROUP BY event_type"
         ),
         "top_events_per_user": (
             "WITH r AS (SELECT user_id, event_id, event_type, "

@@ -513,3 +513,43 @@ def top_events_per_user(spark, sf_dir, k: int = 2, n_users: int = 10):
         )
         .orderBy("user_id", "rk")
     )
+
+
+# ---- extras the reference lacks but Spark SQL gives for free ---------------
+
+def status_rollup(spark, d):
+    """ROLLUP over (status, viewable-ish flag) — subtotals + grand
+    total. The reference computes these with separate queries
+    (app/page.tsx:547-559); one rollup pass replaces them all."""
+    c = _c(spark, d).withColumn(
+        "is_done", F.col("status").isin("completed", "failed", "error")
+    )
+    return (
+        c.rollup("status", "is_done")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "status",
+            F.col("is_done").cast("string").alias("is_done"),
+            "n",
+        )
+    )
+
+
+def distinct_users(spark, sf_dir):
+    """Exact distinct cardinality over the events stream table."""
+    return _e(spark, sf_dir).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event values per type."""
+    e = _e(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+    )
