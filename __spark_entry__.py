@@ -401,11 +401,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "status_labels": (
             "SELECT conv_id, status, CASE "
+            "WHEN status = 'processing' THEN 'Processing 0/' || total_turns "
             "WHEN status = 'completed' THEN 'Completed' "
-            "WHEN status = 'processing' THEN 'Processing' "
-            "WHEN status IN ('queued','pending') THEN 'Waiting' "
+            "WHEN status = 'queued' THEN 'queued' "
+            "WHEN status = 'pending' THEN 'Pending' "
             "WHEN status = 'cancelled' THEN 'Cancelled' "
-            f"ELSE 'Failed' END AS label FROM {_C}"
+            "WHEN status = 'failed' THEN 'Failed' "
+            f"ELSE 'Error' END AS label FROM {_C}"
         ),
         "events_by_type": (
             "SELECT event_type, count(*) AS n, "

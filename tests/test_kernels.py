@@ -158,3 +158,13 @@ def test_e8_path_normalization():
     assert normalize_storage_path("doc/p.jpg", "u1") == "doc/p.jpg"
     assert normalize_storage_path("u2/doc.jpg", "u1") == "u2/doc.jpg"
     assert normalize_storage_path(None, "u1") is None
+
+
+def test_e13_rate_limit_countdown():
+    from v2_ocr_spark.kernels.textfns import rate_limit_countdown
+
+    assert rate_limit_countdown(60, 0) == 60
+    assert rate_limit_countdown(60, 59_500) == 1
+    assert rate_limit_countdown(60, 60_000) == 0
+    assert rate_limit_countdown(60, 99_000) == 0
+    assert rate_limit_countdown(1.5, 400) == 2  # ceil((1500-400)/1000)

@@ -118,3 +118,12 @@ def normalize_storage_path(path: str | None, user_id: str) -> str | None:
     while normalized.startswith(prefix):
         normalized = normalized[len(prefix):]
     return normalized
+
+
+def rate_limit_countdown(retry_after_s: float, elapsed_ms: float) -> int:
+    """E13 — remaining rate-limit seconds shown in the status text
+    (reference: app/components/document-list.tsx:231-233:
+    max(0, ceil((retryAfter*1000 - elapsed)/1000)))."""
+    import math
+
+    return max(0, math.ceil((retry_after_s * 1000 - elapsed_ms) / 1000))

@@ -418,13 +418,25 @@ def camel_case_view(spark, d):
 
 
 def status_labels(spark, d):
-    """E13: status -> display label map (document-list.tsx:229-246)."""
+    """E13: status -> display text, exact reference getStatusText
+    semantics for the 'en' locale without rate-limit state
+    (document-list.tsx:229-246; labels lib/i18n/translations.ts:317-365
+    — note 'queued' is lowercase in the reference's table). processing
+    shows 'Processing {currentPage}/{totalPages}' with currentPage
+    defaulting 0 (document-list.tsx:238)."""
     label = (
-        F.when(F.col("status") == "completed", "Completed")
-        .when(F.col("status") == "processing", "Processing")
-        .when(F.col("status").isin("queued", "pending"), "Waiting")
-        .when(F.col("status") == "cancelled", "Cancelled")
-        .otherwise("Failed")
+        F.when(
+            F.col("status") == "processing",
+            F.concat(
+                F.lit("Processing 0/"), F.col("total_turns").cast("string")
+            ),
+        )
+        .when(F.col("status") == "completed", F.lit("Completed"))
+        .when(F.col("status") == "queued", F.lit("queued"))
+        .when(F.col("status") == "pending", F.lit("Pending"))
+        .when(F.col("status") == "cancelled", F.lit("Cancelled"))
+        .when(F.col("status") == "failed", F.lit("Failed"))
+        .otherwise(F.lit("Error"))
     )
     return _c(spark, d).select("conv_id", "status", label.alias("label"))
 
