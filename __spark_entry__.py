@@ -102,6 +102,35 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def _q_extract_kind(kind):
+    def q(spark, sf_dir):
+        from v2_ocr_spark.operators.extract import with_payload_kind
+
+        t = with_payload_kind(_transcripts(spark, sf_dir))
+        out = extract_turns(t.where(F.col("payload_kind") == kind))
+        return out.select("conv_id", "turn_idx", "extracted_text")
+
+    return q
+
+
+def q_dom_node_stats(spark, sf_dir):
+    from v2_ocr_spark.operators.dom import flatten_dom, node_stats
+
+    return node_stats(flatten_dom(_transcripts(spark, sf_dir)))
+
+
+def q_dom_reassemble(spark, sf_dir):
+    from v2_ocr_spark.operators.dom import (
+        classify_nodes,
+        flatten_dom,
+        reassemble_content,
+    )
+
+    return reassemble_content(
+        classify_nodes(flatten_dom(_transcripts(spark, sf_dir)))
+    )
+
+
 def q_assemble(spark, sf_dir):
     out = extract_turns(_transcripts(spark, sf_dir))
     return assemble(out, chunk_size=256)
@@ -124,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction core (E1-E4, E2/E14 assembly)
         "extract_all_turns": q_extract_all,
         "extract_markdown": q_extract_markdown,
+        "extract_html": _q_extract_kind("html"),
+        "extract_pdf_layout": _q_extract_kind("pdf_layout"),
+        "dom_node_stats": q_dom_node_stats,
+        "dom_reassemble": q_dom_reassemble,
         "extract_spans": q_extract_spans,
         "assemble_documents": q_assemble,
         "export_documents": q_export,
@@ -231,6 +264,26 @@ def oracle_sql() -> dict[str, str]:
             f"WITH k AS (SELECT conv_id, turn_idx, text, {_KIND} AS kind FROM {_T}) "
             f"SELECT conv_id, turn_idx, {_E1_SQL} AS extracted_text "
             "FROM k WHERE kind = 'markdown'"
+        ),
+        "extract_html": (
+            f"SELECT conv_id, turn_idx, expected_text AS extracted_text "
+            f"FROM {_E} WHERE payload_kind = 'html'"
+        ),
+        "extract_pdf_layout": (
+            f"SELECT conv_id, turn_idx, expected_text AS extracted_text "
+            f"FROM {_E} WHERE payload_kind = 'pdf_layout'"
+        ),
+        "dom_node_stats": (
+            f"SELECT conv_id, turn_idx, html_blocks AS n_blocks, "
+            f"html_kept AS n_kept, "
+            f"CAST(html_blocks - html_kept AS INT) AS n_dropped, "
+            f"CAST(html_kept_chars AS BIGINT) AS kept_chars, "
+            f"CAST(html_link_chars AS BIGINT) AS link_chars "
+            f"FROM {_E} WHERE payload_kind = 'html' AND html_blocks > 0"
+        ),
+        "dom_reassemble": (
+            f"SELECT conv_id, turn_idx, expected_text AS extracted_text "
+            f"FROM {_E} WHERE payload_kind = 'html' AND html_blocks > 0"
         ),
         "extract_spans": (
             f"SELECT conv_id, turn_idx, {_SPAN_STR} AS spans_str FROM {_E}"

@@ -1,0 +1,127 @@
+"""Golden-fixture tests for the E15 HTML and E16 PDF-layout kernels.
+
+Expectations in tests/fixtures/e15_html.json / e16_pdf_layout.json are
+HAND-derived from the kernel specs (module docstrings) — never
+regenerated from the kernels themselves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from v2_ocr_spark.kernels.htmlx import (
+    extract_html,
+    extract_html_series,
+    flatten_html,
+    is_content,
+    is_content_mask,
+)
+from v2_ocr_spark.kernels.pdflayout import layout_text, layout_text_series
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def load(name):
+    with open(os.path.join(FIXTURES, name), encoding="utf-8") as f:
+        return json.load(f)
+
+
+E15 = load("e15_html.json")
+E16 = load("e16_pdf_layout.json")
+
+
+@pytest.mark.parametrize("case", E15["cases"], ids=lambda c: c["name"])
+def test_e15_html_scalar(case):
+    text, spans = extract_html(case["input"])
+    assert text == case["expected"]
+    assert [list(s) for s in spans] == case["spans"]
+
+
+@pytest.mark.parametrize("case", E15["flatten_cases"], ids=lambda c: c["name"])
+def test_e15_flatten_nodes(case):
+    assert flatten_html(case["input"]) == case["nodes"]
+
+
+def test_e15_vectorized_matches_scalar():
+    inputs = [c["input"] for c in E15["cases"]] + [None]
+    texts, spans = extract_html_series(pd.Series(inputs, dtype=object))
+    for i, val in enumerate(inputs):
+        t, s = extract_html(val)
+        assert texts.iloc[i] == t
+        assert spans.iloc[i] == s
+
+
+def test_e15_spans_slice_back_to_block_text():
+    for case in E15["cases"]:
+        text, spans = extract_html(case["input"])
+        for start, end, _tag in spans:
+            assert text[start:end] == text[start:end].strip()
+            assert len(text[start:end]) == end - start
+        # spans tile the output with the "\n\n" joiners between them
+        if spans:
+            rebuilt = "\n\n".join(text[s:e] for s, e, _ in spans)
+            assert rebuilt == text
+
+
+def test_e15_is_content_mask_matches_scalar_rule():
+    nodes = []
+    for case in E15["cases"]:
+        nodes.extend(flatten_html(case["input"]))
+    df = pd.DataFrame(nodes)
+    if df.empty:
+        pytest.skip("no nodes")
+    mask = is_content_mask(df)
+    for i, nd in enumerate(nodes):
+        assert mask.iloc[i] == is_content(
+            nd["tag"], nd["boiler"], nd["n_chars"], nd["link_chars"]
+        )
+
+
+def test_e15_none_and_non_string():
+    assert extract_html(None) == ("", [])
+    assert extract_html("") == ("", [])
+
+
+@pytest.mark.parametrize("case", E16["cases"], ids=lambda c: c["name"])
+def test_e16_pdf_layout_scalar(case):
+    text, spans = layout_text(case["input"])
+    assert text == case["expected"]
+    assert [list(s) for s in spans] == case["spans"]
+
+
+def test_e16_vectorized_matches_scalar():
+    inputs = [c["input"] for c in E16["cases"]] + [None]
+    texts, spans = layout_text_series(pd.Series(inputs, dtype=object))
+    for i, val in enumerate(inputs):
+        t, s = layout_text(val)
+        assert texts.iloc[i] == t
+        assert spans.iloc[i] == s
+
+
+def test_e16_box_list_order_invariance():
+    """Reading order comes from geometry, not input order."""
+    boxes = [
+        {"x0": 72, "y0": 688, "x1": 272, "y1": 700, "text": "first line"},
+        {"x0": 72, "y0": 674, "x1": 272, "y1": 686, "text": "second line"},
+        {"x0": 72, "y0": 620, "x1": 272, "y1": 632, "text": "second para"},
+    ]
+    fwd = layout_text(json.dumps({"page": {"w": 612}, "boxes": boxes}))
+    rev = layout_text(json.dumps({"page": {"w": 612}, "boxes": boxes[::-1]}))
+    assert fwd == rev
+    assert fwd[0] == "first line\nsecond line\n\nsecond para"
+
+
+def test_e16_pdfminer_gate():
+    from v2_ocr_spark.kernels.pdflayout import boxes_from_pdf_bytes
+
+    try:
+        import pdfminer  # noqa: F401
+
+        pytest.skip("pdfminer present; decode path is live")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            boxes_from_pdf_bytes(b"%PDF-1.4")

@@ -33,7 +33,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from v2_ocr_spark.kernels.blocks import reassemble_blocks
+from v2_ocr_spark.kernels.htmlx import extract_html, flatten_html, is_content
 from v2_ocr_spark.kernels.markdown import clean_markdown, paragraph_spans
+from v2_ocr_spark.kernels.pdflayout import layout_text
 from v2_ocr_spark.kernels.plain import passthrough
 
 SEED = 42
@@ -194,6 +196,116 @@ def gen_plain(conv_id: str, turn_idx: int) -> str:
     return _sentence(WORDS_EN, 5 + h % 20, conv_id, turn_idx, "en")
 
 
+def gen_html(conv_id: str, turn_idx: int) -> str:
+    h = _h("html", conv_id, turn_idx)
+    para = lambda i, n=10: _sentence(WORDS_EN, n, conv_id, turn_idx, "hp", i)  # noqa: E731
+    links = lambda k: " ".join(  # noqa: E731
+        f'<a href="/p{j}">{_sentence(WORDS_EN, 2, conv_id, turn_idx, "lk", j)}</a>'
+        for j in range(k)
+    )
+    variant = h % 14
+
+    if variant == 0:  # full page: head/style skipped, nav+footer boiler
+        return (
+            f"<html><head><title>T{h % 9}</title><style>p{{x}}</style></head>"
+            f"<body><nav>{links(3)}</nav><article><h1>Title {h % 50}</h1>"
+            f"<p>{para(0)}</p><p>{para(1, 12)}</p></article>"
+            f"<footer>© {2000 + h % 26} corp</footer></body></html>"
+        )
+    if variant == 1:  # link farm div (dropped) + one real paragraph
+        return f"<div>{links(5)}</div><p>{para(0)}</p>"
+    if variant == 2:  # tagless text (single body block)
+        return para(0, 12)
+    if variant == 3:  # list items, some below the li threshold
+        return (
+            f"<ul><li>{para(0, 4)}</li><li>ok</li>"
+            f"<li>{para(1, 6)}</li></ul>"
+        )
+    if variant == 4:  # malformed: unclosed p, stray close
+        return f"<p>{para(0)}</div><p>{para(1, 5)}"
+    if variant == 5:  # entities + comment
+        return (
+            f"<p>{para(0, 6)} &amp; more &lt;tags&gt; &#8212; end</p>"
+            f"<!-- hidden comment -->"
+        )
+    if variant == 6:  # Arabic content paragraph
+        return (
+            f"<article><p>{_sentence(WORDS_AR, 8, conv_id, turn_idx, 'har')}"
+            f"</p></article>"
+        )
+    if variant == 7:  # table cells
+        return (
+            f"<table><tr><td>{para(0, 5)}</td><td>{para(1, 5)}</td></tr>"
+            f"<tr><td>n{h % 10}</td></tr></table>"
+        )
+    if variant == 8:  # pre + blockquote
+        return (
+            f"<pre>x = {h % 100}\ny = {h % 31}</pre>"
+            f"<blockquote>{para(0, 7)}</blockquote>"
+        )
+    if variant == 9:  # link-heavy paragraph (density borderline)
+        return f"<p>{para(0, 3)} {links(4)}</p>"
+    if variant == 10:
+        return ""
+    if variant == 11:  # boilerplate only
+        return (
+            f"<aside>{para(0, 6)}</aside>"
+            f"<form><label>q</label><button>go {h % 5}</button></form>"
+        )
+    if variant == 12:  # nested divs with inline markup
+        return (
+            f"<div><div><p>{para(0, 4)} <b>bold</b> <i>it</i> "
+            f"{para(1, 6)}</p></div><script>var x={h % 7};</script></div>"
+        )
+    # variant 13: heading + short p + br-split block
+    return (
+        f"<h2>Part {h % 12}</h2><p>tiny</p>"
+        f"<div>{para(0, 5)}<br>{para(1, 5)}</div>"
+    )
+
+
+def gen_pdf_layout(conv_id: str, turn_idx: int) -> str:
+    h = _h("pdf", conv_id, turn_idx)
+    variant = h % 10
+    line = lambda i, n=5: _sentence(WORDS_EN, n, conv_id, turn_idx, "pl", i)  # noqa: E731
+
+    def box(x0, y_top, text, width=200.0, height=12.0):
+        return {
+            "x0": float(x0), "y0": float(y_top - height),
+            "x1": float(x0 + width), "y1": float(y_top), "text": text,
+        }
+
+    if variant == 5:  # malformed JSON
+        return '{"page": {"w": 612}, "boxes": [{"x0": 72,'
+    if variant == 4:  # no boxes
+        return json.dumps({"page": {"w": 612, "h": 792}, "boxes": []})
+
+    boxes = []
+    if variant == 1:  # two columns
+        for i in range(3):
+            boxes.append(box(72, 700 - 14 * i, line(i), width=200))
+            boxes.append(box(340, 700 - 14 * i, line(10 + i), width=200))
+    elif variant == 3:  # same-line split boxes
+        boxes.append(box(72, 700, line(0, 3), width=120))
+        boxes.append(box(200, 700, line(1, 3), width=120))
+        boxes.append(box(72, 660, line(2), width=300))
+    elif variant == 6:  # whitespace boxes dropped among real ones
+        boxes.append(box(72, 700, "   ", width=50))
+        boxes.append(box(72, 680, line(0), width=250))
+        boxes.append(box(72, 666, line(1), width=250))
+    elif variant == 9:  # single box
+        boxes.append(box(72, 700, line(0, 8), width=400))
+    else:  # single column, paragraph gap after line 2
+        n_lines = 3 + h % 4
+        y = 700.0
+        for i in range(n_lines):
+            boxes.append(box(72, y, line(i)))
+            y -= 40.0 if i == 1 else 14.0
+    if variant == 2:  # same content, shuffled box order
+        boxes.sort(key=lambda b: _h(conv_id, turn_idx, "shuf", b["y1"], b["x0"]))
+    return json.dumps({"page": {"w": 612, "h": 792}, "boxes": boxes})
+
+
 def payload_kind(conv_id: str, turn_idx: int, role: str) -> str:
     """Kind is a function of role (the engine's dispatch contract,
     operators/extract.py): assistant turns carry markdown, user turns
@@ -203,14 +315,24 @@ def payload_kind(conv_id: str, turn_idx: int, role: str) -> str:
     if role == "user":
         return "plain"
     r = _h("kind", conv_id, turn_idx) % 100
-    if r < 60:
+    if r < 40:
         return "blocks_rtl"
-    if r < 85:
+    if r < 60:
         return "markdown"
+    if r < 78:
+        return "html"
+    if r < 92:
+        return "pdf_layout"
     return "plain"
 
 
-GEN = {"markdown": gen_markdown, "blocks_rtl": gen_blocks, "plain": gen_plain}
+GEN = {
+    "markdown": gen_markdown,
+    "blocks_rtl": gen_blocks,
+    "plain": gen_plain,
+    "html": gen_html,
+    "pdf_layout": gen_pdf_layout,
+}
 
 
 def expected_for(kind: str, text: str) -> tuple[str, list[dict]]:
@@ -219,9 +341,32 @@ def expected_for(kind: str, text: str) -> tuple[str, list[dict]]:
         spans = paragraph_spans(cleaned)
     elif kind == "blocks_rtl":
         cleaned, spans = reassemble_blocks(text)
+    elif kind == "html":
+        cleaned, spans = extract_html(text)
+    elif kind == "pdf_layout":
+        cleaned, spans = layout_text(text)
     else:
         cleaned, spans = passthrough(text)
     return cleaned, [{"start": s, "end": e, "kind": k} for s, e, k in spans]
+
+
+def html_stats_for(kind: str, text: str) -> tuple:
+    """Expected DOM-node-table stats for html turns (oracle for the
+    flattened-node route, operators/dom.py): (blocks, kept, kept_chars,
+    link_chars); all-None for non-html turns."""
+    if kind != "html":
+        return None, None, None, None
+    nodes = flatten_html(text)
+    kept = [
+        nd for nd in nodes
+        if is_content(nd["tag"], nd["boiler"], nd["n_chars"], nd["link_chars"])
+    ]
+    return (
+        len(nodes),
+        len(kept),
+        sum(nd["n_chars"] for nd in kept),
+        sum(nd["link_chars"] for nd in nodes),
+    )
 
 
 # --------------------------------------------------------------------
@@ -240,7 +385,8 @@ def build_scale(n_convs: int) -> tuple[pa.Table, pa.Table, pa.Table]:
     e_rows = {
         k: []
         for k in ("conv_id", "turn_idx", "payload_kind", "expected_text",
-                  "expected_spans")
+                  "expected_spans", "html_blocks", "html_kept",
+                  "html_kept_chars", "html_link_chars")
     }
     c_rows = {
         k: []
@@ -273,11 +419,16 @@ def build_scale(n_convs: int) -> tuple[pa.Table, pa.Table, pa.Table]:
             t_rows["ts"].append(ts)
 
             cleaned, spans = expected_for(kind, text)
+            nb, nk, kc, lc = html_stats_for(kind, text)
             e_rows["conv_id"].append(conv_id)
             e_rows["turn_idx"].append(turn_idx)
             e_rows["payload_kind"].append(kind)
             e_rows["expected_text"].append(cleaned)
             e_rows["expected_spans"].append(spans)
+            e_rows["html_blocks"].append(nb)
+            e_rows["html_kept"].append(nk)
+            e_rows["html_kept_chars"].append(kc)
+            e_rows["html_link_chars"].append(lc)
             size_total += len(text.encode("utf-8"))
 
         status = _pick(STATUSES, "st", conv_id)
@@ -326,6 +477,10 @@ def build_scale(n_convs: int) -> tuple[pa.Table, pa.Table, pa.Table]:
             "payload_kind": pa.array(e_rows["payload_kind"], pa.string()),
             "expected_text": pa.array(e_rows["expected_text"], pa.string()),
             "expected_spans": pa.array(e_rows["expected_spans"], SPAN_TYPE),
+            "html_blocks": pa.array(e_rows["html_blocks"], pa.int32()),
+            "html_kept": pa.array(e_rows["html_kept"], pa.int32()),
+            "html_kept_chars": pa.array(e_rows["html_kept_chars"], pa.int64()),
+            "html_link_chars": pa.array(e_rows["html_link_chars"], pa.int64()),
         }
     )
     conversations = pa.table(

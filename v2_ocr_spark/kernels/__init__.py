@@ -9,11 +9,15 @@ reference implementation used to build golden expected outputs.
 from v2_ocr_spark.kernels.markdown import JS_WS, clean_markdown_series, js_trim
 from v2_ocr_spark.kernels.blocks import reassemble_blocks_series, RTL_LANGUAGES
 from v2_ocr_spark.kernels.plain import passthrough_series
+from v2_ocr_spark.kernels.htmlx import extract_html_series
+from v2_ocr_spark.kernels.pdflayout import layout_text_series
 
 KERNELS = {
     "markdown": clean_markdown_series,
     "blocks_rtl": reassemble_blocks_series,
     "plain": passthrough_series,
+    "html": extract_html_series,
+    "pdf_layout": layout_text_series,
 }
 
 __all__ = [
@@ -21,7 +25,9 @@ __all__ = [
     "KERNELS",
     "RTL_LANGUAGES",
     "clean_markdown_series",
+    "extract_html_series",
     "js_trim",
+    "layout_text_series",
     "passthrough_series",
     "reassemble_blocks_series",
 ]

@@ -1,0 +1,261 @@
+"""E15 — HTML main-content extraction (boilerplate strip + DOM heuristics).
+
+The north-star pipeline generalizes the reference's per-page cleanup
+(markdown strip, mistral.ts:208-219; block reassembly,
+microsoft.ts:56-84) to HTML payloads: Readability-style text-density /
+link-density scoring over a FLATTENED DOM-NODE TABLE, block-level
+classification into content vs boilerplate, and span reassembly in
+document order.
+
+The kernel is split in two stages so the exact same semantics run in
+two places:
+
+  1. ``flatten_html`` — parse (stdlib ``html.parser``: deterministic
+     and dependency-free; an lxml fast path would be a drop-in here but
+     is deliberately NOT auto-selected — parser choice must not change
+     bytes between environments) into a flat list of block nodes:
+     ``(block_id, tag, depth, boiler, text, n_chars, link_chars,
+     n_inline)``.  This is the only stage that needs Python; inside
+     Spark it runs batched per Arrow chunk (mapInPandas), never as a
+     per-row Python UDF round-trip.
+  2. classification + reassembly — pure integer arithmetic over the
+     node table (``is_content_mask`` below).  ``operators/dom.py``
+     expresses the identical rule as JVM-side Column expressions over
+     the exploded node table, and tests assert the two routes agree
+     byte-for-byte.
+
+Classification rule (all integer comparisons — float-free so pandas,
+Spark SQL and DuckDB agree exactly):
+
+    keep = not boiler and n_chars > 0 and (
+        (tag in HEADINGS   and link_chars == 0)
+        or (n_chars >= 25  and 3*link_chars <= n_chars)        # ld <= 1/3
+        or (tag in CONTENT_TAGS and n_chars >= 8
+            and 5*link_chars <= n_chars)                        # ld <= 1/5
+    )
+
+Kept blocks join with "\\n\\n" in document (block_id) order; one span
+per kept block, kind = the block's tag.
+
+Reference parity: this is the engine's HTML analog of the reference's
+region->line->word reassembly + cleanup (same shape: parse, score,
+keep, reorder, join) — see SURVEY.md §0 item 1.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+
+# Subtrees whose text never contributes (non-content by construction).
+SKIP_TAGS = frozenset(
+    "script style noscript template head title svg math iframe object "
+    "embed applet".split()
+)
+# Subtrees that are structural boilerplate: text is measured (the node
+# table keeps the evidence) but classified non-content.
+BOILER_TAGS = frozenset(
+    "nav header footer aside form button select option datalist label "
+    "menu dialog".split()
+)
+# Block-level boundaries: opening or closing one finalizes the current
+# text block. br/hr are void boundaries.
+BLOCK_TAGS = frozenset(
+    "address article aside blockquote body caption dd details div dl dt "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr "
+    "html li main menu nav ol p pre section summary table tbody td "
+    "tfoot th thead tr ul br".split()
+)
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+# Tags whose short text is still content (the <p>-rule): the Readability
+# heuristic of trusting semantic content containers at lower thresholds.
+CONTENT_TAGS = frozenset(
+    "p pre blockquote li td th figcaption caption dd dt summary".split()
+)
+
+_WS = re.compile(r"\s+")
+
+
+def _collapse(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+class _Flattener(HTMLParser):
+    """One streaming pass -> flat block-node list (document order)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.nodes: list[dict] = []
+        # current-block accumulators
+        self._chunks: list[str] = []
+        self._link_chars = 0
+        self._n_inline = 0
+        self._tag = ""
+        self._depth = 0
+        self._boiler = False
+        self._open = False
+
+    # -- block lifecycle ------------------------------------------------
+    def _enclosing_block_tag(self) -> str:
+        for t in reversed(self.stack):
+            if t in BLOCK_TAGS:
+                return t
+        return "body"
+
+    def _start_block(self) -> None:
+        self._chunks = []
+        self._link_chars = 0
+        self._n_inline = 0
+        self._tag = self._enclosing_block_tag()
+        self._depth = len(self.stack)
+        self._boiler = any(t in BOILER_TAGS for t in self.stack)
+        self._open = True
+
+    def _finalize(self) -> None:
+        if not self._open:
+            return
+        text = _collapse("".join(self._chunks))
+        n = len(text)
+        self.nodes.append(
+            {
+                "block_id": len(self.nodes),
+                "tag": self._tag,
+                "depth": self._depth,
+                "boiler": self._boiler,
+                "text": text,
+                "n_chars": n,
+                "link_chars": min(self._link_chars, n),
+                "n_inline": self._n_inline,
+            }
+        )
+        self._open = False
+
+    # -- state derived from the stack ----------------------------------
+    def _in_skip(self) -> bool:
+        return any(t in SKIP_TAGS for t in self.stack)
+
+    def _in_link(self) -> bool:
+        return "a" in self.stack
+
+    # -- parser events --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in BLOCK_TAGS:
+            self._finalize()
+        elif self._open and not self._in_skip():
+            self._n_inline += 1
+        if tag not in VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in BLOCK_TAGS:
+            self._finalize()
+        elif self._open and not self._in_skip():
+            self._n_inline += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in BLOCK_TAGS:
+            self._finalize()
+        if tag in self.stack:
+            # implied-close recovery: pop to (and including) the match
+            while self.stack:
+                if self.stack.pop() == tag:
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._in_skip():
+            return
+        if not self._open and not data.strip():
+            return  # whitespace between blocks never opens one
+        if not self._open:
+            self._start_block()
+        self._chunks.append(data)
+        if self._in_link():
+            self._link_chars += len(_collapse(data))
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._finalize()
+
+
+def flatten_html(text: str | None) -> list[dict]:
+    """HTML -> flat block-node records in document order.
+
+    Malformed input is tolerated (html.parser recovers); None/empty ->
+    [].  Total function: never raises on string input.
+    """
+    if not text:
+        return []
+    p = _Flattener()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        # html.parser is robust, but guarantee totality regardless
+        p._finalize()
+    return p.nodes
+
+
+def is_content(tag: str, boiler: bool, n_chars: int, link_chars: int) -> bool:
+    """The block-classification rule (integer-exact; see module doc)."""
+    if boiler or n_chars <= 0:
+        return False
+    if tag in HEADING_TAGS and link_chars == 0:
+        return True
+    if n_chars >= 25 and 3 * link_chars <= n_chars:
+        return True
+    return tag in CONTENT_TAGS and n_chars >= 8 and 5 * link_chars <= n_chars
+
+
+def is_content_mask(nodes: pd.DataFrame) -> pd.Series:
+    """Vectorized ``is_content`` over a node-table DataFrame."""
+    tag = nodes["tag"]
+    n = nodes["n_chars"]
+    lk = nodes["link_chars"]
+    rule = (tag.isin(HEADING_TAGS) & (lk == 0)) | (
+        (n >= 25) & (3 * lk <= n)
+    ) | (tag.isin(CONTENT_TAGS) & (n >= 8) & (5 * lk <= n))
+    return (~nodes["boiler"]) & (n > 0) & rule
+
+
+def assemble_content(nodes: list[dict]) -> tuple[str, list[tuple[int, int, str]]]:
+    """Kept blocks in block_id order, joined "\\n\\n"; one span each."""
+    kept = [
+        nd
+        for nd in nodes
+        if is_content(nd["tag"], nd["boiler"], nd["n_chars"], nd["link_chars"])
+    ]
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for nd in kept:
+        end = pos + nd["n_chars"]
+        spans.append((pos, end, nd["tag"]))
+        pos = end + 2
+    return "\n\n".join(nd["text"] for nd in kept), spans
+
+
+def extract_html(text: str | None) -> tuple[str, list[tuple[int, int, str]]]:
+    """Scalar E15 kernel: HTML -> (main-content text, block spans)."""
+    return assemble_content(flatten_html(text))
+
+
+def extract_html_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized E15 — runs once per Arrow batch inside mapInPandas."""
+    out_text: list[str] = []
+    out_spans: list[list[tuple[int, int, str]]] = []
+    for val in texts:
+        t, s = extract_html(None if val is None else str(val))
+        out_text.append(t)
+        out_spans.append(s)
+    return (
+        pd.Series(out_text, index=texts.index, dtype=object),
+        pd.Series(out_spans, index=texts.index, dtype=object),
+    )
