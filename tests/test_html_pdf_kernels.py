@@ -86,6 +86,55 @@ def test_e15_none_and_non_string():
     assert extract_html("") == ("", [])
 
 
+# fast tokenizer path vs the html.parser reference implementation —
+# must agree node-for-node on goldens, fixtures and adversarial markup.
+# Known, documented divergence: an UNTERMINATED comment/decl at EOF is
+# consumed silently by the fast path, while html.parser flushes the
+# partial markup as text at close(); the fast behavior is pinned here.
+_ADVERSARIAL = [
+    "no tags", "<P>UPPER</P>",
+    '<a href="x>y">quoted gt enough characters here ok</a>',
+    '<script>var s = "<p>not a tag</p>";</script><p>real paragraph kept</p>',
+    '<style>p:before{content:"<div>"}</style><p>kept paragraph here</p>',
+    '<p>unterminated <div foo="bar',
+    "<p>stray < lt and 5 < 6 in a long enough paragraph</p>",
+    "<!DOCTYPE html><p>doctype then long enough paragraph of text</p>",
+    "<![CDATA[ raw <p>x</p> ]]><p>after cdata long enough paragraph</p>",
+    '<?php echo "<p>hi</p>"; ?><p>after pi long enough paragraph text</p>',
+    "</><p>bogus end then long enough paragraph of words</p>",
+    "<p>entity &amp; &lt; &gt; &#65; &unknown; mixed into paragraph</p>",
+    "<br><br/><hr/><p>voids then a long enough paragraph of text here</p>",
+    '<SCRIPT SRC="x">ignored</SCRIPT><p>case-insensitive rawtext close</p>',
+    "<script>never closed", "<a>link text</a>", "<ul><li>item</li><div>",
+    "<p a=1 b = \"2\" c='3'>unquoted and quoted attrs in paragraph</p>",
+    "<p>tab\tand\nnewline   runs  collapse in this long paragraph</p>",
+    "<p>&#x62;hex charref in a sufficiently long paragraph text</p>",
+    "< notag really, just text that is long enough to keep around</p>",
+    "<div/><p>self-closing div then long enough paragraph</p>",
+    "<p>a&b unterminated amp in this long enough paragraph &",
+    "<em>inline only but long enough to pass the char bar easily</em>",
+    "<p>one</p ><p>sloppy close bracket long enough paragraph text</p>",
+]
+
+
+def test_e15_fast_path_matches_html_parser_reference():
+    from v2_ocr_spark.kernels.htmlx import flatten_html_ref
+
+    inputs = [c["input"] for c in E15["cases"]] + _ADVERSARIAL
+    for s in inputs:
+        assert flatten_html(s) == flatten_html_ref(s), s
+
+
+def test_e15_unterminated_comment_divergence_pinned():
+    """The one intended fast-path divergence from html.parser."""
+    s = "<!-- unterminated comment <p>x</p>"
+    assert flatten_html(s) == []  # consumed silently, no phantom text
+    assert flatten_html(s + "-->") == []  # terminated: both agree
+    from v2_ocr_spark.kernels.htmlx import flatten_html_ref
+
+    assert flatten_html_ref(s + "-->") == []
+
+
 @pytest.mark.parametrize("case", E16["cases"], ids=lambda c: c["name"])
 def test_e16_pdf_layout_scalar(case):
     text, spans = layout_text(case["input"])

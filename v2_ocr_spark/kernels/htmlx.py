@@ -45,6 +45,7 @@ keep, reorder, join) — see SURVEY.md §0 item 1.
 from __future__ import annotations
 
 import re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -186,11 +187,13 @@ class _Flattener(HTMLParser):
         self._finalize()
 
 
-def flatten_html(text: str | None) -> list[dict]:
-    """HTML -> flat block-node records in document order.
+def flatten_html_ref(text: str | None) -> list[dict]:
+    """Reference flatten: stdlib html.parser event stream.
 
-    Malformed input is tolerated (html.parser recovers); None/empty ->
-    [].  Total function: never raises on string input.
+    This is the semantic definition; the production ``flatten_html``
+    below is a regex-tokenizer fast path (~4x) pinned to it by
+    differential tests (test_html_pdf_kernels.py) over goldens,
+    fixtures and adversarial markup.
     """
     if not text:
         return []
@@ -202,6 +205,150 @@ def flatten_html(text: str | None) -> list[dict]:
         # html.parser is robust, but guarantee totality regardless
         p._finalize()
     return p.nodes
+
+
+# -- fast path --------------------------------------------------------------
+# One regex pass over the document; alternatives ordered to mirror
+# html.parser's dispatch: comment, CDATA section, declaration, PI,
+# end tag, start tag (quote-aware so '>' inside attribute values does
+# not end the tag), text run (ends at '<'), stray '<'.
+_TOKEN = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<!(?:[^>\"']|\"[^\"]*\"|'[^']*')*(?:>|$)"
+    r"|<\?[^>]*(?:>|$)"
+    r"|</>"
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*(?:>|$)"
+    r"|<([a-zA-Z][^\t\n\r\f />]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+    r"|[^<]+"
+    r"|<",
+    re.S,
+)
+# html.parser CDATA_CONTENT_ELEMENTS: raw text until the closing tag
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</\s*script[^>]*>", re.I),
+    "style": re.compile(r"</\s*style[^>]*>", re.I),
+}
+
+
+def flatten_html(text: str | None) -> list[dict]:
+    """HTML -> flat block-node records in document order (fast path).
+
+    Same node semantics as ``flatten_html_ref``; malformed input is
+    tolerated. Total function: never raises on string input.
+    """
+    if not text:
+        return []
+
+    stack: list[str] = []
+    nodes: list[dict] = []
+    chunks: list[str] = []
+    # membership counters replace O(depth) stack scans per token
+    depths = {"skip": 0, "boiler": 0, "a": 0}
+    acc = {"link": 0, "inline": 0, "tag": "", "depth": 0,
+           "boiler": False, "open": False}
+
+    def finalize() -> None:
+        if not acc["open"]:
+            return
+        btext = _collapse("".join(chunks))
+        n = len(btext)
+        nodes.append(
+            {
+                "block_id": len(nodes),
+                "tag": acc["tag"],
+                "depth": acc["depth"],
+                "boiler": acc["boiler"],
+                "text": btext,
+                "n_chars": n,
+                "link_chars": min(acc["link"], n),
+                "n_inline": acc["inline"],
+            }
+        )
+        acc["open"] = False
+
+    def on_data(data: str) -> None:
+        if depths["skip"]:
+            return
+        if not acc["open"]:
+            if not data.strip():
+                return
+            chunks.clear()
+            acc["link"] = 0
+            acc["inline"] = 0
+            acc["tag"] = next(
+                (t for t in reversed(stack) if t in BLOCK_TAGS), "body"
+            )
+            acc["depth"] = len(stack)
+            acc["boiler"] = depths["boiler"] > 0
+            acc["open"] = True
+        chunks.append(data)
+        if depths["a"]:
+            acc["link"] += len(_collapse(data))
+
+    def on_start(tag: str, self_closing: bool) -> None:
+        if tag in BLOCK_TAGS:
+            finalize()
+        elif acc["open"] and not depths["skip"]:
+            acc["inline"] += 1
+        if not self_closing and tag not in VOID_TAGS:
+            stack.append(tag)
+            if tag in SKIP_TAGS:
+                depths["skip"] += 1
+            if tag in BOILER_TAGS:
+                depths["boiler"] += 1
+            if tag == "a":
+                depths["a"] += 1
+
+    def on_end(tag: str) -> None:
+        if tag in BLOCK_TAGS:
+            finalize()
+        if tag in stack:
+            while stack:
+                popped = stack.pop()
+                if popped in SKIP_TAGS:
+                    depths["skip"] -= 1
+                if popped in BOILER_TAGS:
+                    depths["boiler"] -= 1
+                if popped == "a":
+                    depths["a"] -= 1
+                if popped == tag:
+                    break
+
+    pos, size = 0, len(text)
+    match = _TOKEN.match
+    while pos < size:
+        m = match(text, pos)
+        if m is None:  # pragma: no cover - alternatives are exhaustive
+            on_data(text[pos])
+            pos += 1
+            continue
+        start, pos = pos, m.end()
+        end_tag, start_tag, _attrs, slash = m.group(1, 2, 3, 4)
+        if start_tag is not None:  # start tag
+            tag = start_tag.lower()
+            on_start(tag, bool(slash))
+            close_re = _RAWTEXT_CLOSE.get(tag)
+            if close_re is not None and not slash:
+                # raw-text content: no tag/charref parsing inside;
+                # content is data (ignored: script/style are SKIP)
+                mc = close_re.search(text, pos)
+                if mc is None:
+                    break  # unterminated: rest is raw data, ignored
+                on_end(tag)
+                pos = mc.end()
+        elif end_tag is not None:  # end tag
+            on_end(end_tag.lower())
+        elif text[start] != "<":
+            # text run (ends at '<'); charrefs decoded like
+            # convert_charrefs=True does per run
+            tok = text[start:pos]
+            on_data(_unescape(tok) if "&" in tok else tok)
+        elif pos - start == 1:  # stray '<'
+            on_data("<")
+        # comments / CDATA sections / declarations / PIs: no events
+    finalize()
+    return nodes
 
 
 def is_content(tag: str, boiler: bool, n_chars: int, link_chars: int) -> bool:
