@@ -49,3 +49,94 @@ def test_stream_extract_equals_batch(spark, sf_small, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def _expected_sessions_pandas(events_pdf, gap_seconds=1800.0):
+    """Driver-side reference: closed sessions per user (the final open
+    session per user stays in state, not in the output)."""
+    closed = []
+    for uid, g in events_pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        start = last = None
+        n = 0
+        for ts in g["ts"]:
+            t = ts.timestamp()
+            if last is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_seconds:
+                closed.append((uid, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+    return sorted(closed)
+
+
+def test_stream_sessionize_stateful(spark, sf_small, tmp_path):
+    """applyInPandasWithState sessionizer: emitted rows == every closed
+    session; open sessions held in the state store."""
+    import os
+
+    from v2_ocr_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "ev_in")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src)
+
+    q = stream_sessionize(
+        spark, src, str(tmp_path / "ev_out"), str(tmp_path / "ev_ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(tmp_path / "ev_out")).collect()
+    )
+    events = spark.read.parquet(f"{src}/events.parquet").toPandas()
+    assert got == _expected_sessions_pandas(events)
+    assert len(got) > 0
+
+
+def test_stream_turn_metrics_watermarked(spark, sf_small, tmp_path):
+    """Watermark + windowed agg: closed windows match the batch
+    computation of the same windows."""
+    from v2_ocr_spark.operators.extract import with_payload_kind
+    from v2_ocr_spark.streaming.stateful import stream_turn_metrics
+
+    src = str(tmp_path / "tm_in")
+    shutil.copytree(sf_small, src, ignore=shutil.ignore_patterns(
+        "conversations*", "transcripts_expected*"))
+
+    q = stream_turn_metrics(
+        spark, src, str(tmp_path / "tm_out"), str(tmp_path / "tm_ckpt"),
+        window="1 hour", watermark="0 seconds",
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "tm_out"))
+        .orderBy("window_start", "payload_kind")
+        .toPandas()
+    )
+    batch = (
+        with_payload_kind(spark.read.parquet(f"{sf_small}/transcripts.parquet"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "payload_kind")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("chars_in"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "payload_kind", "n_turns", "chars_in",
+        )
+        .orderBy("window_start", "payload_kind")
+        .toPandas()
+    )
+    # append mode emits only windows closed by the final watermark; the
+    # max event time closes every window strictly before it
+    open_cut = batch["window_start"].max()
+    closed = batch[batch["window_start"] < open_cut].reset_index(drop=True)
+    got = got[got["window_start"] < open_cut].reset_index(drop=True)
+    assert len(got) > 0
+    assert got.equals(closed)

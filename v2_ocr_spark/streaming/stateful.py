@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators.
+
+Two Structured Streaming shapes the batch surface doesn't cover:
+
+* ``stream_turn_metrics`` — watermark + event-time windowed aggregation
+  (late data handled by the watermark; the streaming analog of the
+  reference's 1 s status heartbeat, queue-manager.ts:217, aggregated
+  instead of polled).
+* ``stream_sessionize`` — an arbitrary-stateful operator via
+  ``applyInPandasWithState``: gap-based sessionization per user where
+  the open session survives across micro-batches in the state store.
+  Closed sessions are emitted as soon as the gap that closes them is
+  seen; the still-open session stays in state (and would emit on an
+  event-time timeout in a continuously-running query).
+
+Scale notes: state is keyed by user_id — size is O(active users), one
+small fixed-width row each, so the state store does not grow with
+events. The shuffle partitions the stream by user_id once; skew =
+hottest user, same as the batch window formulation
+(operators/relational.sessionize).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+SESSION_OUT_DDL = (
+    "user_id long, session_start double, session_end double, n_events long"
+)
+_SESSION_STATE_DDL = "start_ts double, last_ts double, n long"
+
+
+def _sessionize_fn(gap_seconds: float):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic event order within the batch — same tiebreak as
+        # the batch formulation (relational.sessionize)
+        batch = batch.sort_values(["ts", "event_id"])
+        closed: list[tuple] = []
+        for ts in batch["ts"]:
+            t = ts.timestamp()
+            if last is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_seconds:
+                closed.append((user_id, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """events stream -> closed sessions, open session held in state."""
+    stream = (
+        spark.readStream.schema(EVENT_DDL)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_minutes * 60.0),
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_turn_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """transcripts stream -> per-window per-kind turn/char counts.
+
+    ``withWatermark`` bounds state: windows older than the watermark
+    close, emit once (append mode), and are evicted — late rows beyond
+    the watermark are dropped rather than growing state forever.
+    """
+    from v2_ocr_spark.operators.extract import with_payload_kind
+    from v2_ocr_spark.streaming.stream_extract import TRANSCRIPT_DDL
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    agg = (
+        with_payload_kind(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "payload_kind")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("chars_in"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "payload_kind",
+            "n_turns",
+            "chars_in",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
