@@ -48,11 +48,12 @@ def test_e15_flatten_nodes(case):
 
 def test_e15_vectorized_matches_scalar():
     inputs = [c["input"] for c in E15["cases"]] + [None]
-    texts, spans = extract_html_series(pd.Series(inputs, dtype=object))
+    texts, spans, nodes = extract_html_series(pd.Series(inputs, dtype=object))
     for i, val in enumerate(inputs):
         t, s = extract_html(val)
         assert texts.iloc[i] == t
         assert spans.iloc[i] == s
+        assert nodes.iloc[i] == len(flatten_html(val))
 
 
 def test_e15_spans_slice_back_to_block_text():

@@ -97,6 +97,12 @@ def test_metrics_lineage(job_factory):
     assert total == 11782  # sf0.001 row count
     assert all(r["snapshot_id"] for r in rows)
     assert all(r["chars_out"] >= 0 and r["proc_ms"] >= 0 for r in rows)
+    # north-rule block metrics: html turns drop boilerplate blocks, so
+    # nodes_seen strictly exceeds blocks_kept; never negative dropped
+    assert sum(r["nodes_seen"] for r in rows) > sum(
+        r["blocks_kept"] for r in rows
+    )
+    assert all(r["blocks_dropped"] >= 0 for r in rows)
 
 
 def test_conversations_never_straddle_partitions(job_factory):

@@ -394,15 +394,27 @@ def extract_html(text: str | None) -> tuple[str, list[tuple[int, int, str]]]:
     return assemble_content(flatten_html(text))
 
 
-def extract_html_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
-    """Vectorized E15 — runs once per Arrow batch inside mapInPandas."""
+def extract_html_series(
+    texts: pd.Series,
+) -> tuple[pd.Series, pd.Series, pd.Series]:
+    """Vectorized E15 — runs once per Arrow batch inside mapInPandas.
+
+    Returns a third series, nodes_seen (DOM blocks inspected per turn),
+    feeding the north rule's extraction metrics: dropped = seen - kept.
+    Kernels without a notion of dropped blocks return 2-tuples and the
+    dispatcher defaults nodes_seen to the kept-span count.
+    """
     out_text: list[str] = []
     out_spans: list[list[tuple[int, int, str]]] = []
+    out_nodes: list[int] = []
     for val in texts:
-        t, s = extract_html(None if val is None else str(val))
+        nodes = flatten_html(None if val is None else str(val))
+        t, s = assemble_content(nodes)
         out_text.append(t)
         out_spans.append(s)
+        out_nodes.append(len(nodes))
     return (
         pd.Series(out_text, index=texts.index, dtype=object),
         pd.Series(out_spans, index=texts.index, dtype=object),
+        pd.Series(out_nodes, index=texts.index, dtype="int64"),
     )

@@ -48,7 +48,9 @@ EXTRACTED_DDL = (
     f"spans {SPANS_DDL}, error string"
 )
 EXTRACTED_METRICS_DDL = (
-    EXTRACTED_DDL + ", chars_in long, chars_out long, n_spans int, proc_us long"
+    EXTRACTED_DDL
+    + ", chars_in long, chars_out long, n_spans int, nodes_seen long, "
+    "proc_us long"
 )
 
 
@@ -76,6 +78,9 @@ def _extract_batch(pdf: pd.DataFrame, with_metrics: bool) -> pd.DataFrame:
     out_text = pd.Series([""] * n, index=pdf.index, dtype=object)
     out_spans = pd.Series([[] for _ in range(n)], index=pdf.index, dtype=object)
     out_err = pd.Series([None] * n, index=pdf.index, dtype=object)
+    # nodes inspected per turn (north-rule metrics: dropped = seen-kept);
+    # kernels without a dropped-block notion report seen == kept below
+    out_nodes = pd.Series([-1] * n, index=pdf.index, dtype="int64")
 
     for kind, kernel in KERNELS.items():
         mask = pdf["payload_kind"] == kind
@@ -83,16 +88,20 @@ def _extract_batch(pdf: pd.DataFrame, with_metrics: bool) -> pd.DataFrame:
             continue
         texts = pdf.loc[mask, "text"]
         try:
-            cleaned, spans = kernel(texts)
+            cleaned, spans, *extra = kernel(texts)
             out_text.loc[mask] = cleaned
             out_spans.loc[mask] = spans
+            if extra:
+                out_nodes.loc[mask] = extra[0]
         except Exception:
             # P10 fallback: isolate the failing rows, keep the rest.
             for idx, val in texts.items():
                 try:
-                    c, s = kernel(pd.Series([val]))
+                    c, s, *ex = kernel(pd.Series([val]))
                     out_text.at[idx] = c.iloc[0]
                     out_spans.at[idx] = s.iloc[0]
+                    if ex:
+                        out_nodes.at[idx] = ex[0].iloc[0]
                 except Exception as exc:  # noqa: BLE001
                     out_text.at[idx] = ""
                     out_spans.at[idx] = []
@@ -119,6 +128,9 @@ def _extract_batch(pdf: pd.DataFrame, with_metrics: bool) -> pd.DataFrame:
         res["chars_in"] = pdf["text"].fillna("").str.len().astype("int64")
         res["chars_out"] = out_text.str.len().astype("int64")
         res["n_spans"] = out_spans.map(len).astype("int32")
+        res["nodes_seen"] = out_nodes.where(
+            out_nodes >= 0, res["n_spans"]
+        ).astype("int64")
         res["proc_us"] = int(elapsed // 1000) // max(n, 1)
     return res
 

@@ -102,7 +102,8 @@ class ExtractionJob:
         """Per-partition metrics for the whole staging dir in ONE Spark
         job (a per-partition agg job each would serialize the commit
         loop — 32 scheduler round-trips instead of one groupBy)."""
-        empty = {"turns_seen": 0, "blocks_kept": 0, "blocks_dropped": 0,
+        empty = {"turns_seen": 0, "nodes_seen": 0, "blocks_kept": 0,
+                 "blocks_dropped": 0, "turns_errored": 0,
                  "chars_in": 0, "chars_out": 0, "proc_ms": 0}
         try:
             staged = self.spark.read.parquet(self.sink.staging_dir(run_id))
@@ -112,6 +113,7 @@ class ExtractionJob:
             staged.groupBy("pid")
             .agg(
                 F.count("*").alias("turns"),
+                F.sum("nodes_seen").alias("nodes"),
                 F.sum("n_spans").alias("kept"),
                 F.count(F.when(F.col("error").isNotNull(), 1)).alias("errs"),
                 F.sum("chars_in").alias("ci"),
@@ -124,8 +126,10 @@ class ExtractionJob:
         for r in rows:
             out[int(r.pid)] = {
                 "turns_seen": r.turns or 0,
+                "nodes_seen": int(r.nodes or 0),
                 "blocks_kept": int(r.kept or 0),
-                "blocks_dropped": int(r.errs or 0),
+                "blocks_dropped": int((r.nodes or 0) - (r.kept or 0)),
+                "turns_errored": int(r.errs or 0),
                 "chars_in": int(r.ci or 0),
                 "chars_out": int(r.co or 0),
                 "proc_ms": int((r.us or 0) // 1000),
