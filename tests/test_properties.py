@@ -165,3 +165,136 @@ def test_e7_always_safe(name):
     assert out
     assert len(out) <= 251
     assert not any(c in out for c in '<>:"/\\|?*')
+
+
+# ---------------------------------------------------------------------------
+# E15 HTML kernel properties
+# ---------------------------------------------------------------------------
+
+HTMLISH = st.lists(
+    st.sampled_from(
+        list("ab <>&;/\"'\n\t")
+        + [
+            "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
+            "<script>", "</script>", "<nav>", "</nav>", "<h1>", "</h1>",
+            "<br>", "<!--", "-->", "&amp;", "&#65;", "<li>", "</li>",
+            "word", "longer words to cross thresholds",
+        ]
+    ),
+    max_size=40,
+).map("".join)
+
+
+@given(HTMLISH)
+@settings(max_examples=300, deadline=None)
+def test_e15_total_and_deterministic(s):
+    from v2_ocr_spark.kernels.htmlx import extract_html
+
+    assert extract_html(s) == extract_html(s)
+
+
+@given(HTMLISH)
+@settings(max_examples=300, deadline=None)
+def test_e15_spans_tile_output(s):
+    from v2_ocr_spark.kernels.htmlx import extract_html
+
+    text, spans = extract_html(s)
+    pos = 0
+    for start, end, _kind in spans:
+        assert start == pos and end >= start
+        pos = end + 2
+    if spans:
+        assert spans[-1][1] == len(text)
+    else:
+        assert text == ""
+
+
+def _eof_truncated_markup(s: str) -> bool:
+    """The pinned divergence class: a comment/CDATA/decl/PI/end-tag
+    left unterminated at EOF is consumed silently by the fast path but
+    flushed as text by html.parser's close()."""
+    for opener, closer, off in (("<!--", "-->", 4), ("<![CDATA[", "]]>", 9)):
+        j = s.rfind(opener)
+        if j != -1 and s.find(closer, j + off) == -1:
+            return True
+    for opener in ("<!", "<?", "</"):
+        j = s.rfind(opener)
+        if j != -1 and s.find(">", j) == -1:
+            return True
+    return False
+
+
+@given(HTMLISH)
+@settings(max_examples=300, deadline=None)
+def test_e15_fast_flatten_matches_reference(s):
+    """Fast tokenizer == html.parser event stream, except the pinned
+    unterminated-markup-at-EOF divergence (consumed silently vs
+    flushed as text)."""
+    from v2_ocr_spark.kernels.htmlx import flatten_html, flatten_html_ref
+
+    if _eof_truncated_markup(s):
+        return
+    assert flatten_html(s) == flatten_html_ref(s)
+
+
+@given(HTMLISH)
+@settings(max_examples=300, deadline=None)
+def test_e15_node_counters_consistent(s):
+    from v2_ocr_spark.kernels.htmlx import flatten_html
+
+    for nd in flatten_html(s):
+        assert nd["n_chars"] == len(nd["text"])
+        assert 0 <= nd["link_chars"] <= nd["n_chars"]
+        assert nd["n_inline"] >= 0 and nd["depth"] >= 0
+        assert nd["text"] == nd["text"].strip()
+
+
+# ---------------------------------------------------------------------------
+# E16 PDF layout kernel properties
+# ---------------------------------------------------------------------------
+
+BOX = st.fixed_dictionaries(
+    {
+        "x0": st.integers(0, 500),
+        "y0": st.integers(0, 700),
+        "w": st.integers(1, 100),
+        "h": st.integers(1, 40),
+        "text": st.text(alphabet="ab c\t", max_size=8),
+    }
+).map(
+    lambda d: {
+        "x0": d["x0"], "y0": d["y0"],
+        "x1": d["x0"] + d["w"], "y1": d["y0"] + d["h"],
+        "text": d["text"],
+    }
+)
+
+
+@given(st.lists(BOX, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_e16_box_multiset_preserved_and_ordered(boxes):
+    """Every non-blank box's text appears in the output; spans tile."""
+    from v2_ocr_spark.kernels.pdflayout import _collapse, layout_text
+
+    payload = json.dumps({"page": {"w": 612, "h": 792}, "boxes": boxes})
+    text, spans = layout_text(payload)
+    words = sorted(
+        w for b in boxes for w in _collapse(b["text"]).split() if w
+    )
+    assert sorted(text.split()) == words
+    pos = 0
+    for start, end, kind in spans:
+        assert start == pos and kind == "pdf_block"
+        pos = end + 2
+    if spans:
+        assert spans[-1][1] == len(text)
+
+
+@given(st.lists(BOX, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_e16_input_order_invariant(boxes):
+    from v2_ocr_spark.kernels.pdflayout import layout_text
+
+    a = json.dumps({"page": {"w": 612}, "boxes": boxes})
+    b = json.dumps({"page": {"w": 612}, "boxes": boxes[::-1]})
+    assert layout_text(a) == layout_text(b)
