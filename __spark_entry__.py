@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": textstats.rolling_fingerprint,
         # multimodal plumbing
         "multimodal_image_meta": multimodal.image_meta,
+        "multimodal_frame_sample": multimodal.frame_sample_stats,
     }
 
 

@@ -108,3 +108,39 @@ def test_multimodal_meta_plumbing(spark):
 def test_multimodal_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_image(b"\x89PNG")
+
+
+def test_multimodal_resize_plumbing(spark):
+    import struct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    imgs = multimodal.with_fake_image(docs).select("doc_id", "image")
+    orig = {r["doc_id"]: r for r in multimodal.image_meta(spark, SF).collect()}
+    resized = multimodal.resize_images(imgs, max_dim=256).collect()
+    assert len(resized) == len(orig)
+    for r in resized:
+        assert 1 <= max(r["width"], r["height"]) <= 256
+        # binary round-trip: header matches the reported dims
+        b = bytes(r["image"])
+        w, h = struct.unpack(">ii", b[4:12])
+        assert (w, h) == (r["width"], r["height"])
+        o = orig[r["doc_id"]]
+        if max(o["width"], o["height"]) <= 256:
+            assert (w, h) == (o["width"], o["height"])  # no upscale
+        else:
+            # aspect preserved within integer floor
+            assert abs(w * o["height"] - h * o["width"]) <= max(
+                o["width"], o["height"]
+            )
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vids = multimodal.with_fake_video(docs)
+    frames = multimodal.sample_frames(vids, every_n=2)
+    per_doc = {r["doc_id"]: r["cnt"] for r in frames.groupBy("doc_id")
+               .agg(F.count("*").alias("cnt")).collect()}
+    for r in vids.select("doc_id", "n_frames").collect():
+        assert per_doc[r["doc_id"]] == -(-r["n_frames"] // 2)  # ceil
+    idx = frames.select("frame_idx").distinct().collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in idx)

@@ -98,3 +98,128 @@ def decode_real_image(_: bytes):
         "decode_image_batch demonstrates the Spark-side plumbing with the "
         "deterministic FIMG fake format"
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing (fake codecs, real Arrow batch shape)
+# ---------------------------------------------------------------------------
+
+RESIZED_DDL = "doc_id long, image binary, width int, height int"
+VIDEO_DDL = "doc_id long, video binary, n_frames int"
+FRAME_DDL = "doc_id long, frame_idx int, frame binary, width int, height int"
+
+VMAGIC = b"FVID"
+
+
+def resize_images(imgs: DataFrame, max_dim: int = 256) -> DataFrame:
+    """binary-in -> binary-out resize: cap the longest side at max_dim
+    preserving aspect (integer floor, min 1). The 'codec' rewrites the
+    FIMG header; a real deployment swaps the body for PIL/libvips
+    thumbnailing — signature, schema, and batch shape stay identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+                b = bytes(buf)
+                if b[:4] != MAGIC or len(b) < 12:
+                    rows.append((doc_id, b, 0, 0))  # undecodable: pass through
+                    continue
+                w, h = struct.unpack(">ii", b[4:12])
+                side = max(w, h)
+                if side > max_dim and side > 0:
+                    nw = max(1, (w * max_dim) // side)
+                    nh = max(1, (h * max_dim) // side)
+                else:
+                    nw, nh = w, h
+                out = MAGIC + struct.pack(">ii", nw, nh) + b[12:]
+                rows.append((doc_id, out, nw, nh))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "image", "width", "height"]
+            )
+
+    return imgs.mapInPandas(run, schema=RESIZED_DDL)
+
+
+def with_fake_video(docs: DataFrame) -> DataFrame:
+    """documents -> deterministic fake 'video': FVID + int32 n_frames +
+    n_frames FIMG frames whose payload is the doc text. Frame count is
+    a stable function of doc_id (2-9)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = 2 + (hash_stable(doc_id) % 8)
+                payload = (text or "").encode("utf-8")[:64]
+                frames = b"".join(
+                    MAGIC + struct.pack(">ii", 16 * (i + 1), 9 * (i + 1))
+                    + payload
+                    for i in range(n)
+                )
+                rows.append(
+                    (doc_id, VMAGIC + struct.pack(">i", n) + frames, n)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "video", "n_frames"])
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=VIDEO_DDL)
+
+
+def hash_stable(doc_id) -> int:
+    """Process-independent stand-in for a frame-count hash (Python's
+    hash() is salted per process — useless across executors)."""
+    import zlib
+
+    return zlib.crc32(str(doc_id).encode("utf-8"), 42)
+
+
+def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """video binary -> one row per SAMPLED frame (frame 0, n, 2n, ...):
+    the one-to-many batch fan-out shape every video pipeline needs.
+    Frame payload length is recovered from the container layout, not
+    trusted metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["video"]):
+                b = bytes(buf)
+                if b[:4] != VMAGIC or len(b) < 8:
+                    continue  # undecodable container: no frames
+                (n,) = struct.unpack(">i", b[4:8])
+                body = b[8:]
+                if n <= 0 or len(body) % n:
+                    continue
+                frame_len = len(body) // n
+                for i in range(0, n, every_n):
+                    fb = body[i * frame_len:(i + 1) * frame_len]
+                    if fb[:4] != MAGIC or len(fb) < 12:
+                        continue
+                    w, h = struct.unpack(">ii", fb[4:12])
+                    rows.append((doc_id, i, fb, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame", "width", "height"],
+            )
+
+    return videos.mapInPandas(run, schema=FRAME_DDL)
+
+
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> sampled-frame counts per doc (rows-only query)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = sample_frames(with_fake_video(docs), every_n=2)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sampled"),
+            F.max("width").cast("int").alias("max_width"),
+        )
+        .orderBy("doc_id")
+    )
