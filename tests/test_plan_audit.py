@@ -1,0 +1,102 @@
+"""Physical-plan audits — the shapes that keep 100 TB viable, pinned.
+
+Each assertion encodes a scale invariant from README "Design for 100 TB":
+zero-shuffle extraction, pruned scans, pushed filters, broadcast dims,
+partial (map-side) aggregation, and no Python in JVM-only paths. A
+regression here is a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entry_mod
+from v2_ocr_spark.operators import relational, textstats
+from v2_ocr_spark.operators.extract import extract_turns
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tdir(sf_small):
+    return entry_mod._data_dir(sf_small)
+
+
+def test_extract_is_single_python_stage_zero_shuffle(spark, tdir):
+    p = plan(extract_turns(spark.read.parquet(f"{tdir}/transcripts.parquet")))
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p  # embarrassingly parallel: no shuffle
+    # scan pruned to exactly the dispatch+payload columns — ts unread
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int,role:string,text:string,tool:string>" in p
+
+
+def test_relational_scan_prunes_and_pushes(spark, tdir):
+    p = plan(relational.results_scan(spark, tdir))
+    assert "PushedFilters: [" in p and "conv_id" in p.split("PushedFilters")[1][:120]
+    # equality predicate reaches the parquet reader, not a post-filter only
+    assert "EqualTo(conv_id" in p
+
+
+def test_dim_join_broadcasts(spark, tdir):
+    p = plan(relational.semi_join_completed(spark, tdir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_aggregations_are_partial_first(spark, tdir):
+    p = plan(relational.status_counts(spark, tdir))
+    assert "partial_count" in p  # map-side combine before the exchange
+
+
+def test_assembly_partial_aggregates(spark, tdir):
+    from v2_ocr_spark.operators.assemble import assemble
+
+    out = extract_turns(spark.read.parquet(f"{tdir}/transcripts.parquet"))
+    p = plan(assemble(out, chunk_size=256))
+    # two-phase chunked merge: chunk-level partial collect then final
+    assert p.count("ObjectHashAggregate") >= 2
+    assert "partial_collect_list" in p or "partial_sort_array" in p
+
+
+def test_jvm_only_paths_have_no_python(spark, sf_small):
+    for q in (
+        textstats.quality_score(spark, "/root/testdata/sf0.001"),
+        textstats.token_counts(spark, "/root/testdata/sf0.001"),
+        relational.fulltext_search(
+            spark, entry_mod._data_dir(sf_small)
+        ),
+    ):
+        p = plan(q)
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
+        assert "MapInPandas" not in p
+
+
+def test_events_window_partitions_by_user(spark):
+    p = plan(relational.sessionize(spark, "/root/testdata/sf0.001"))
+    # the window must partition by user_id — a global window would
+    # single-task 10^12 rows
+    assert "hashpartitioning(user_id" in p
+
+
+def test_writer_sorts_within_partitions(spark, tdir):
+    """W1 at rest: the job writer stages with sortWithinPartitions, no
+    global sort (which would add a range exchange)."""
+    from v2_ocr_spark.pipeline.runner import partition_id
+
+    staged = (
+        extract_turns(spark.read.parquet(f"{tdir}/transcripts.parquet"),
+                      with_metrics=True)
+        .withColumn("pid", partition_id(num_partitions=4))
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    p = plan(staged)
+    # "..., false, 0" after the sort keys = global=false (no range
+    # exchange; each task sorts its own partition)
+    assert "Sort [conv_id" in p and "], false, 0" in p
+    assert "rangepartitioning" not in p.lower()
+    assert "Exchange" not in p
