@@ -136,6 +136,37 @@ def q_assemble(spark, sf_dir):
     return assemble(out, chunk_size=256)
 
 
+def q_span_explode(spark, sf_dir):
+    """UDTF-shaped surface (SURVEY §2.10): one row per emitted span via
+    explode, aggregated per span kind."""
+    out = extract_turns(_transcripts(spark, sf_dir))
+    s = out.select(F.explode("spans").alias("s"))
+    return s.groupBy(F.col("s.kind").alias("kind")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("s.end") - F.col("s.start")).cast("bigint").alias("chars"),
+    )
+
+
+def q_conversation_dedup(spark, sf_dir):
+    """Exact conversation-level dedup over the ASSEMBLED transcripts —
+    the transcript-table analog of documents dedup_exact: fingerprint
+    the reassembled conversation text, report duplicate groups."""
+    out = extract_turns(_transcripts(spark, sf_dir))
+    doc = assemble(out, chunk_size=256).select(
+        "conv_id", F.md5("document_text").alias("fingerprint")
+    )
+    return (
+        doc.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("conv_id"))
+            ).alias("conv_ids"),
+        )
+        .where(F.col("n_convs") > 1)
+    )
+
+
 def q_export(spark, sf_dir):
     out = extract_turns(_transcripts(spark, sf_dir))
     conv = _conversations(spark, sf_dir)
@@ -159,6 +190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_reassemble": q_dom_reassemble,
         "extract_spans": q_extract_spans,
         "assemble_documents": q_assemble,
+        "span_explode": q_span_explode,
+        "conversation_dedup": q_conversation_dedup,
         "export_documents": q_export,
         # relational surface (S/P/A/O/J, E5/E6)
         "queue_scan": _rel(relational.queue_scan),
@@ -293,6 +326,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, "
             "string_agg(expected_text, e'\\n\\n' ORDER BY turn_idx) AS document_text, "
             f"CAST(count(*) AS INT) AS total_turns FROM {_E} GROUP BY conv_id"
+        ),
+        "span_explode": (
+            f"SELECT s.kind AS kind, count(*) AS n, "
+            f'CAST(sum(s."end" - s.start) AS BIGINT) AS chars '
+            f"FROM (SELECT unnest(expected_spans) AS s FROM {_E}) "
+            "GROUP BY 1"
+        ),
+        "conversation_dedup": (
+            "WITH d AS (SELECT conv_id, "
+            "md5(string_agg(expected_text, chr(10)||chr(10) "
+            f"ORDER BY turn_idx)) AS fingerprint FROM {_E} GROUP BY conv_id) "
+            "SELECT fingerprint, count(*) AS n_convs, "
+            "string_agg(conv_id, ',' ORDER BY conv_id) AS conv_ids "
+            "FROM d GROUP BY fingerprint HAVING count(*) > 1"
         ),
         "export_documents": (
             f"WITH n AS (SELECT conv_id, count(*) AS cnt FROM {_E} GROUP BY conv_id), "
