@@ -25,6 +25,16 @@ Scale design — the skew problem:
   Both phases are hash aggregations with map-side partial aggregation;
   the chunk concat preserves exact "\\n\\n" joints because chunks are
   contiguous turn ranges.
+
+  This IS the salted repartitioning the north rule calls for: the
+  chunk id is a salt derived from turn_idx, the phase-1 shuffle
+  hash-partitions on the salted key (conv_id, chunk) so the hot
+  conversation spreads across tasks, and phase 2 merges the partials.
+  Deriving the salt from turn_idx instead of a random/hashed value is
+  what lets the merge stay order-exact (random salts would need a
+  re-sort per group). Verified by
+  tests/test_extract_pipeline.py chunked-vs-unchunked equality and the
+  skew fixture ``convskew00`` (10k turns).
 """
 
 from __future__ import annotations

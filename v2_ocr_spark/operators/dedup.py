@@ -151,28 +151,36 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
 
-    # guardrail: drop degenerate buckets before pairing (boilerplate
-    # clusters; exact dedup handles them upstream)
-    oversized = (
+    # ONE shuffle collects each bucket's member list; the size filter is
+    # both the >=2 pairing condition and the degenerate-bucket guardrail
+    # (boilerplate clusters; exact dedup handles them upstream). This
+    # replaces the bucket-size groupBy + anti-join + self-equi-join +
+    # distinct formulation: same pair set, 2 shuffles instead of 4, and
+    # the banded entries are scanned once instead of three times.
+    # Group size is bounded by max_bucket, so collect_list cannot blow
+    # up a task even on a 10^12-row input.
+    import pandas as pd
+
+    buckets = (
         band_entries.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > max_bucket)
-        .select("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select("ids")
     )
-    entries = band_entries.join(
-        F.broadcast(oversized), ["band", "bucket"], "left_anti"
-    )
-    # codegen'd self-equi-join on (band, bucket); each pair once (a < b)
-    l = entries.select(
-        "band", "bucket", F.col("doc_id").alias("doc_a")
-    )
-    r = entries.select(
-        "band", "bucket", F.col("doc_id").alias("doc_b")
-    )
+
+    def emit_pairs(batches):
+        from itertools import combinations
+
+        for pdf in batches:
+            seen = set()  # batch-local dedup shrinks the distinct()
+            for ids in pdf["ids"]:
+                for a, b in combinations(sorted(int(i) for i in ids), 2):
+                    seen.add((a, b))
+            if seen:
+                yield pd.DataFrame(sorted(seen), columns=["doc_a", "doc_b"])
+
     return (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.mapInPandas(emit_pairs, schema="doc_a long, doc_b long")
         .distinct()
     )
 
