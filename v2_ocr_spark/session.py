@@ -45,6 +45,12 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed saveAsTable target (pipeline/bucketing.py); keep the
+        # warehouse out of the repo tree. Static conf — set at build.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/v2ocr_warehouse"),
+        )
         # local-mode split sizing: the fixture tables are single small
         # parquet files; byte-range splits (at 4096-row row-group
         # boundaries) keep the scan parallel without a shuffle. On a
