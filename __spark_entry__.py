@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_image_meta": multimodal.image_meta,
         "multimodal_frame_sample": multimodal.frame_sample_stats,
+        "multimodal_audio_chunks": multimodal.audio_chunk_stats,
     }
 
 

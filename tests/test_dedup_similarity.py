@@ -144,3 +144,35 @@ def test_multimodal_frame_sampling(spark):
         assert per_doc[r["doc_id"]] == -(-r["n_frames"] // 2)  # ceil
     idx = frames.select("frame_idx").distinct().collect()
     assert all(r["frame_idx"] % 2 == 0 for r in idx)
+
+
+def test_multimodal_audio_pipeline(spark):
+    import struct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    audio = multimodal.with_fake_audio(docs)
+    res = multimodal.resample_audio(audio, 16000)
+    # resample preserves doc count, hits the target rate, scales samples
+    orig = {r["doc_id"]: r for r in audio.collect()}
+    for r in res.collect():
+        o = orig[r["doc_id"]]
+        assert r["sample_rate"] == 16000
+        want = (
+            o["n_samples"]
+            if o["sample_rate"] == 16000
+            else max(1, (o["n_samples"] * 16000) // o["sample_rate"])
+        )
+        assert r["n_samples"] == want
+        b = bytes(r["audio"])
+        assert struct.unpack(">ii", b[4:12]) == (16000, r["n_samples"])
+    chunks = multimodal.chunk_audio(res, samples_per_chunk=256)
+    per = (
+        chunks.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("n_samples").alias("tot"))
+        .collect()
+    )
+    resn = {r["doc_id"]: r["n_samples"] for r in res.collect()}
+    for r in per:
+        n = resn[r["doc_id"]]
+        assert r["n"] == -(-n // 256)  # ceil
+        assert r["tot"] == n  # chunks tile the stream exactly

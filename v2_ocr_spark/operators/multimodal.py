@@ -223,3 +223,124 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio plumbing: resample + fixed-duration chunking
+# ---------------------------------------------------------------------------
+
+AMAGIC = b"FAUD"
+AUDIO_DDL = "doc_id long, audio binary, sample_rate int, n_samples int"
+ACHUNK_DDL = (
+    "doc_id long, chunk_idx int, chunk binary, sample_rate int, "
+    "n_samples int"
+)
+
+
+def with_fake_audio(docs: DataFrame) -> DataFrame:
+    """documents -> deterministic fake 'audio': FAUD + int32 rate +
+    int32 n_samples + one byte per sample (derived from the text)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 if hash_stable(doc_id) % 2 else 16000
+                pcm = (text or "x").encode("utf-8")[:2048] or b"x"
+                rows.append(
+                    (
+                        doc_id,
+                        AMAGIC + struct.pack(">ii", rate, len(pcm)) + pcm,
+                        rate,
+                        len(pcm),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "audio", "sample_rate", "n_samples"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=AUDIO_DDL)
+
+
+def resample_audio(audio: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """binary-in -> binary-out resample: sample count rescales by the
+    rate ratio (integer floor; naive decimation/duplication on the fake
+    payload — a real deployment swaps in soxr/librosa, same shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
+                b = bytes(buf)
+                if b[:4] != AMAGIC or len(b) < 12:
+                    rows.append((doc_id, b, 0, 0))
+                    continue
+                rate, n = struct.unpack(">ii", b[4:12])
+                pcm = b[12:12 + n]
+                if rate and rate != target_rate:
+                    m = max(1, (n * target_rate) // rate)
+                    idx = [(i * rate) // target_rate for i in range(m)]
+                    pcm = bytes(pcm[min(i, n - 1)] for i in idx)
+                out = AMAGIC + struct.pack(">ii", target_rate, len(pcm)) + pcm
+                rows.append((doc_id, out, target_rate, len(pcm)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "audio", "sample_rate", "n_samples"]
+            )
+
+    return audio.select("doc_id", "audio").mapInPandas(run, schema=AUDIO_DDL)
+
+
+def chunk_audio(audio: DataFrame, samples_per_chunk: int = 256) -> DataFrame:
+    """audio -> one row per fixed-duration segment (fan-out), each a
+    self-contained FAUD payload — the shape ASR batch pipelines feed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
+                b = bytes(buf)
+                if b[:4] != AMAGIC or len(b) < 12:
+                    continue
+                rate, n = struct.unpack(">ii", b[4:12])
+                pcm = b[12:12 + n]
+                for ci, off in enumerate(range(0, len(pcm), samples_per_chunk)):
+                    seg = pcm[off:off + samples_per_chunk]
+                    rows.append(
+                        (
+                            doc_id,
+                            ci,
+                            AMAGIC + struct.pack(">ii", rate, len(seg)) + seg,
+                            rate,
+                            len(seg),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_idx", "chunk", "sample_rate", "n_samples"
+                ],
+            )
+
+    return audio.select("doc_id", "audio").mapInPandas(run, schema=ACHUNK_DDL)
+
+
+def audio_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> resampled+chunked audio segment counts (rows-only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_audio(
+        resample_audio(with_fake_audio(docs), 16000), samples_per_chunk=256
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("n_samples").cast("bigint").alias("total_samples"),
+        )
+        .orderBy("doc_id")
+    )
