@@ -241,7 +241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": similarity.cosine_near_dup_pairs,
         # text analysis (documents table)
         "lang_id": textstats.lang_id,
+        "lang_id_turns": lambda spark, sf_dir: textstats.lang_id_for(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        ),
         "quality_score": textstats.quality_score,
+        "quality_turns": lambda spark, sf_dir: textstats.quality_score_for(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        ),
         "token_counts": textstats.token_counts,
         "fingerprints": textstats.fingerprints,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -581,8 +587,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY query_id, rank"
         ),
         # ---- text analysis (documents view) ----
-        "lang_id": _LANG_ID_SQL,
-        "quality_score": _QUALITY_SQL,
+        "lang_id": _lang_id_sql(),
+        "lang_id_turns": _lang_id_sql(_T, "conv_id, turn_idx"),
+        "quality_score": _quality_sql(),
+        "quality_turns": _quality_sql(_T, "conv_id, turn_idx"),
         "token_counts": (
             "SELECT doc_id, "
             r"CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens, "
@@ -623,37 +631,40 @@ _STOP_SQL = {
     for lang in ("en", "de", "fr", "es")
 }
 
-_LANG_ID_SQL = (
-    "WITH m AS (SELECT doc_id, "
-    "len(regexp_extract_all(lower(text), '[؀-ۿ]')) / "
-    "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS ar, "
-    "len(regexp_extract_all(lower(text), '[Ѐ-ӿ]')) / "
-    "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS cy, "
-    "len(regexp_extract_all(lower(text), '[一-鿿]')) / "
-    "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS cjk, "
-    f"{_STOP_SQL['en']} AS en, {_STOP_SQL['de']} AS de, "
-    f"{_STOP_SQL['fr']} AS fr, {_STOP_SQL['es']} AS es "
-    "FROM documents) "
-    "SELECT doc_id, CASE WHEN ar > 0.3 THEN 'ar' WHEN cy > 0.3 THEN 'ru' "
-    "WHEN cjk > 0.3 THEN 'zh' "
-    "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
-    "WHEN de >= fr AND de >= es THEN 'de' "
-    "WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang FROM m"
-)
+def _lang_id_sql(table: str = "documents", keys: str = "doc_id") -> str:
+    return (
+        f"WITH m AS (SELECT {keys}, "
+        "len(regexp_extract_all(lower(text), '[\u0600-\u06ff]')) / "
+        "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS ar, "
+        "len(regexp_extract_all(lower(text), '[\u0400-\u04ff]')) / "
+        "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS cy, "
+        "len(regexp_extract_all(lower(text), '[\u4e00-\u9fff]')) / "
+        "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS cjk, "
+        f"{_STOP_SQL['en']} AS en, {_STOP_SQL['de']} AS de, "
+        f"{_STOP_SQL['fr']} AS fr, {_STOP_SQL['es']} AS es "
+        f"FROM {table}) "
+        f"SELECT {keys}, CASE WHEN ar > 0.3 THEN 'ar' WHEN cy > 0.3 THEN 'ru' "
+        "WHEN cjk > 0.3 THEN 'zh' "
+        "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+        "WHEN de >= fr AND de >= es THEN 'de' "
+        "WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang FROM m"
+    )
 
-_QUALITY_SQL = (
-    "WITH m AS (SELECT doc_id, "
-    "CAST(greatest(length(text), 1) AS DOUBLE) AS n, "
-    r"CAST(len(regexp_extract_all(text, '\p{L}')) AS DOUBLE) AS n_alpha, "
-    r"CAST(len(regexp_extract_all(text, '[^\p{L}\d\s]')) AS DOUBLE) AS n_punct, "
-    r"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words, "
-    f"CAST({_STOP_SQL['en']} AS DOUBLE) AS n_stop "
-    "FROM documents) "
-    "SELECT doc_id, round(n_alpha / n, 6) AS alpha_ratio, "
-    "round(n_punct / n, 6) AS punct_ratio, "
-    "round(n_alpha / greatest(n_words, 1.0), 6) AS mean_word_len, "
-    "round(least(n / 500.0, 1.0) * 0.25 + (n_alpha / n) * 0.35 + "
-    "(1.0 - least(n_punct / n * 10.0, 1.0)) * 0.2 + "
-    "least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0) * 0.2, 6) AS quality "
-    "FROM m"
-)
+
+def _quality_sql(table: str = "documents", keys: str = "doc_id") -> str:
+    return (
+        f"WITH m AS (SELECT {keys}, "
+        "CAST(greatest(length(text), 1) AS DOUBLE) AS n, "
+        r"CAST(len(regexp_extract_all(text, '\p{L}')) AS DOUBLE) AS n_alpha, "
+        r"CAST(len(regexp_extract_all(text, '[^\p{L}\d\s]')) AS DOUBLE) AS n_punct, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words, "
+        f"CAST({_STOP_SQL['en']} AS DOUBLE) AS n_stop "
+        f"FROM {table}) "
+        f"SELECT {keys}, round(n_alpha / n, 6) AS alpha_ratio, "
+        "round(n_punct / n, 6) AS punct_ratio, "
+        "round(n_alpha / greatest(n_words, 1.0), 6) AS mean_word_len, "
+        "round(least(n / 500.0, 1.0) * 0.25 + (n_alpha / n) * 0.35 + "
+        "(1.0 - least(n_punct / n * 10.0, 1.0)) * 0.2 + "
+        "least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0) * 0.2, 6) AS quality "
+        "FROM m"
+    )

@@ -49,9 +49,13 @@ def _stop_hits(col, lang: str) -> F.Column:
 
 
 def lang_id(spark, sf_dir) -> DataFrame:
-    """n-gram/script heuristic language ID: script ratios decide
+    """n-gram/script heuristic language ID over documents."""
+    return lang_id_for(_docs(spark, sf_dir), ["doc_id"])
+
+
+def lang_id_for(d: DataFrame, keys: list[str]) -> DataFrame:
+    """Language ID for any (keys..., text) table: script ratios decide
     non-latin scripts, stopword votes break latin-script ties."""
-    d = _docs(spark, sf_dir)
     text = F.lower(F.col("text"))
     n = F.greatest(F.length(text), F.lit(1))
     # materialize each count ONCE in a first projection — referencing
@@ -59,7 +63,7 @@ def lang_id(spark, sf_dir) -> DataFrame:
     # regexp subtree in the plan (no common-subexpression elimination
     # across conditional branches; measured ~20x slower inlined)
     counts = d.select(
-        "doc_id",
+        *keys,
         (F.regexp_count(text, F.lit(ARABIC_CLASS)) / n).alias("ar"),
         (F.regexp_count(text, F.lit(CYRILLIC_CLASS)) / n).alias("cy"),
         (F.regexp_count(text, F.lit(CJK_CLASS)) / n).alias("cjk"),
@@ -81,13 +85,18 @@ def lang_id(spark, sf_dir) -> DataFrame:
         .when(F.col("cjk") > 0.3, "zh")
         .otherwise(best_latin)
     )
-    return counts.select("doc_id", pred.alias("pred_lang"))
+    return counts.select(*keys, pred.alias("pred_lang"))
 
 
 def quality_score(spark, sf_dir) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality heuristic — the
-    standard pre-training text filters, one codegen'd projection."""
-    d = _docs(spark, sf_dir)
+    """Length / punctuation / stopword-ratio quality heuristic over
+    documents."""
+    return quality_score_for(_docs(spark, sf_dir), ["doc_id"])
+
+
+def quality_score_for(d: DataFrame, keys: list[str]) -> DataFrame:
+    """Quality heuristic for any (keys..., text) table — the standard
+    pre-training text filters, one codegen'd projection."""
     text = F.col("text")
     n = F.greatest(F.length(text), F.lit(1)).cast("double")
     n_alpha = F.regexp_count(text, F.lit(r"\p{L}")).cast("double")
@@ -103,7 +112,7 @@ def quality_score(spark, sf_dir) -> DataFrame:
         * 0.2
     )
     return d.select(
-        "doc_id",
+        *keys,
         F.round(n_alpha / n, 6).alias("alpha_ratio"),
         F.round(n_punct / n, 6).alias("punct_ratio"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
