@@ -127,3 +127,44 @@ def test_backfill_column(spark, populated):
         F.col("text_len") != F.length(F.coalesce("extracted_text", F.lit("")))
     ).count()
     assert bad == 0
+
+
+def test_compact_partitions_preserves_rows(spark, sf_small, tmp_path):
+    import glob
+
+    from v2_ocr_spark.pipeline.maintenance import compact_partitions
+    from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+    out = str(tmp_path / "compact")
+    job = ExtractionJob(
+        spark, f"{sf_small}/transcripts.parquet", out, num_partitions=4
+    )
+    # fragment: cap records per file so every partition lands many small
+    # files (the state a long append/maxRecordsPerFile workload reaches)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "500")
+    try:
+        job.run()
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+
+    def files():
+        return sorted(glob.glob(f"{out}/data/pid=*/part-*.parquet"))
+
+    def snapshot():
+        return (
+            job.read_output()
+            .select("conv_id", "turn_idx", "extracted_text")
+            .orderBy("conv_id", "turn_idx")
+            .collect()
+        )
+
+    before_rows, before_files = snapshot(), files()
+    assert len(before_files) > 4  # one file per task -> several per pid
+    res = compact_partitions(spark, out, num_partitions=4)
+    assert sorted(res["rewritten"]) == [0, 1, 2, 3]
+    after_files = files()
+    assert len(after_files) == 4  # one packed file per partition
+    assert snapshot() == before_rows
+    # lineage records the compaction as its own snapshot op
+    ops = {c["metrics"].get("op") for c in job.sink.committed().values()}
+    assert "compact" in ops

@@ -164,3 +164,31 @@ def backfill_column(
     return _rewrite_partitions(
         spark, sink, rewritten, pids, num_partitions, "backfill"
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    num_partitions: int = 32,
+    pids: list[int] | None = None,
+) -> dict:
+    """Small-files maintenance — the MergeSink analog of Iceberg's
+    ``rewrite_data_files``. Long append workloads (and any write under
+    spark.sql.files.maxRecordsPerFile) leave partitions holding many
+    small files; reads then pay per-file open cost. Rewriting a partition's rows through the same
+    copy-on-write path lands them as one densely-packed, turn-sorted
+    file, with the atomic per-partition promote preserving snapshot
+    lineage (op='compact' in the commit metrics). Rows are
+    byte-identical before and after.
+
+    At 100 TB: run per-partition on a schedule (the pids argument
+    bounds each run), exactly like Iceberg compaction jobs."""
+    sink = MergeSink(out_dir)
+    targets = sorted(sink.committed()) if pids is None else sorted(pids)
+    if not targets:
+        return {"run_id": None, "rewritten": []}
+    current = sink.read(spark)
+    subset = current.where(F.col("pid").isin(targets)).drop("pid")
+    return _rewrite_partitions(
+        spark, sink, subset, targets, num_partitions, "compact"
+    )
