@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity (embeddings table)
         "ann_brute_force_topk": similarity.brute_force_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        "ann_srp_lsh_topk": similarity.srp_lsh_topk,
         "cosine_near_dup": similarity.cosine_near_dup_pairs,
         # text analysis (documents table)
         "lang_id": textstats.lang_id,

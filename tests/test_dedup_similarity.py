@@ -176,3 +176,31 @@ def test_multimodal_audio_pipeline(spark):
         n = resn[r["doc_id"]]
         assert r["n"] == -(-n // 256)  # ceil
         assert r["tot"] == n  # chunks tile the stream exactly
+
+
+def test_srp_lsh_recall_vs_brute_force(spark):
+    """Seed-deterministic planes -> deterministic recall; must clear
+    0.7 on the adversarial near-uniform fixture while scanning well
+    under the full corpus per query."""
+    bf = {(r["query_id"], r["nbr_id"])
+          for r in similarity.brute_force_topk(spark, SF).collect()}
+    lsh = {(r["query_id"], r["nbr_id"])
+           for r in similarity.srp_lsh_topk(spark, SF).collect()}
+    assert len(bf) == 50
+    assert len(lsh & bf) / len(bf) >= 0.7
+    # candidate volume stays a strict subset of the corpus
+    emb = similarity.with_unit_norm(similarity._emb(spark, SF)).select(
+        "vec_id", "unit"
+    )
+    sig = similarity.srp_signatures(emb, 32, 6, 64)
+    qs = sig.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    n_cand = (
+        sig.join(qs, ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand / 10 < 0.6 * 499

@@ -117,6 +117,11 @@ def _centroids(emb_unit: DataFrame, nlist: int) -> DataFrame:
         .orderBy("h")
         .limit(nlist)
         .select(
+            # the unpartitioned window runs AFTER limit(nlist) — it
+            # numbers only nlist rows on one task (the orderBy+limit
+            # itself is a distributed TakeOrdered); the WindowExec
+            # single-partition warning is about these nlist rows, not
+            # the corpus
             F.row_number()
             .over(Window.orderBy("h"))
             .alias("cell_id"),
@@ -180,5 +185,106 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (random hyperplane) ANN — the LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def srp_signatures(
+    emb_unit: DataFrame, n_tables: int = 8, n_bits: int = 12,
+    dim: int = 64, seed: int = 42,
+) -> DataFrame:
+    """-> (vec_id, table, bucket): sign-random-projection signatures.
+
+    One Arrow-batched numpy pass: the whole batch's vectors multiply
+    the (n_tables*n_bits, dim) plane matrix at BLAS speed, then the
+    sign bits pack into one bucket id per table. Hyperplanes are
+    seed-deterministic, so signatures are stable across runs and
+    executors. (Catalyst per-element array ops would be interpreted —
+    same rationale as the minhash kernel.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_bits, dim))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
+            bits = (mat @ planes.T) > 0  # (rows, n_tables*n_bits)
+            bits = bits.reshape(len(pdf), n_tables, n_bits)
+            buckets = (bits * weights).sum(axis=2)  # (rows, n_tables)
+            rows = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                "table": np.tile(np.arange(n_tables), len(pdf)),
+                "bucket": buckets.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    return emb_unit.select("vec_id", "unit").mapInPandas(
+        run, schema="vec_id long, table int, bucket long"
+    )
+
+
+def srp_lsh_topk(
+    spark, sf_dir, k: int = 5, n_queries: int = 10,
+    n_tables: int = 32, n_bits: int = 6,
+) -> DataFrame:
+    """ANN top-k via SRP-LSH: candidates share a (table, bucket) with
+    the query in ANY of the n_tables; exact cosine re-ranks candidates.
+
+    Defaults are tuned for the ADVERSARIAL fixture (near-uniform
+    vectors, top-5 cosine only ~0.3 -> per-bit collision ~0.6): t=32,
+    b=6 measures 0.84 recall touching ~40% of the corpus. On real
+    embedding corpora (neighbor cosine >= 0.7, per-bit ~0.75+) the same
+    shape reaches high recall with far fewer tables / more bits —
+    tune (n_tables, n_bits) to the corpus similarity profile.
+
+    Scale shape: signature pass is zero-shuffle; the candidate join is
+    an equi-join on (table, bucket) — at 10^12 vectors buckets spread
+    uniformly (hash of sign pattern), and recall/cost tunes with
+    (n_tables, n_bits) instead of data size. Exact re-rank cost is
+    candidates-only, as in the minhash pipeline.
+    """
+    emb = with_unit_norm(_emb(spark, sf_dir)).select("vec_id", "unit")
+    dim = len(emb.select("unit").first()["unit"])
+    sig = srp_signatures(emb, n_tables, n_bits, dim)
+
+    q_sig = sig.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        sig.join(q_sig, ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "unit")
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(corpus, "nbr_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            _dot(F.col("q_unit"), F.col("unit")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "nbr_id", F.round("cosine", 6).alias("cosine")
+        )
         .orderBy("query_id", "rank")
     )
