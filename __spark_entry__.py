@@ -603,9 +603,11 @@ def oracle_sql() -> dict[str, str]:
             r"md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_norm "
             "FROM documents"
         ),
-        # dedup_simhash / ann_ivf_topk / rolling_fingerprint /
-        # multimodal_image_meta: engine-specific hashing or stubs —
-        # rows-only check (documented; recall-tested in tests/).
+        # rows-only exceptions (engine-specific hashing or stubbed
+        # codecs; each recall/plumbing-tested in tests/):
+        # dedup_simhash, ann_ivf_topk, ann_srp_lsh_topk,
+        # rolling_fingerprint, multimodal_image_meta,
+        # multimodal_frame_sample, multimodal_audio_chunks.
     }
     return sql
 

@@ -192,7 +192,7 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     emb = similarity.with_unit_norm(similarity._emb(spark, SF)).select(
         "vec_id", "unit"
     )
-    sig = similarity.srp_signatures(emb, 32, 6, 64)
+    sig = similarity.srp_signatures(emb, 32, 6)
     qs = sig.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"
     )

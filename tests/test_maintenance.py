@@ -160,7 +160,7 @@ def test_compact_partitions_preserves_rows(spark, sf_small, tmp_path):
 
     before_rows, before_files = snapshot(), files()
     assert len(before_files) > 4  # one file per task -> several per pid
-    res = compact_partitions(spark, out, num_partitions=4)
+    res = compact_partitions(spark, out)
     assert sorted(res["rewritten"]) == [0, 1, 2, 3]
     after_files = files()
     assert len(after_files) == 4  # one packed file per partition
@@ -168,3 +168,32 @@ def test_compact_partitions_preserves_rows(spark, sf_small, tmp_path):
     # lineage records the compaction as its own snapshot op
     ops = {c["metrics"].get("op") for c in job.sink.committed().values()}
     assert "compact" in ops
+
+
+def test_compact_never_rehashes_pids(spark, sf_small, tmp_path):
+    """Regression: compaction keeps rows under their stored pid — a
+    conv_id re-hash under a different partition count would silently
+    drop rows into never-promoted partitions."""
+    from v2_ocr_spark.pipeline.maintenance import compact_partitions
+    from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+    out = str(tmp_path / "cmp2")
+    job = ExtractionJob(
+        spark, f"{sf_small}/transcripts.parquet", out, num_partitions=4
+    )
+    job.run()
+    before = job.read_output().count()
+    # the old signature took num_partitions=32 by default and re-hashed:
+    # with a 4-partition sink that lost ~7/8 of the rows
+    compact_partitions(spark, out)
+    assert job.read_output().count() == before
+    pid_map = (
+        job.read_output()
+        .select("conv_id", "pid")
+        .distinct()
+        .groupBy("conv_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert pid_map == 0

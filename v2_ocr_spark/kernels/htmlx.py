@@ -213,13 +213,28 @@ def flatten_html_ref(text: str | None) -> list[dict]:
 # end tag, start tag (quote-aware so '>' inside attribute values does
 # not end the tag), text run (ends at '<'), stray '<'.
 _TOKEN = re.compile(
-    r"<!--.*?(?:-->|$)"
-    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-    r"|<!(?:[^>\"']|\"[^\"]*\"|'[^']*')*(?:>|$)"
+    # comment / CDATA closers are html.parser's loose forms
+    # (markupbase _commentclose '--\s*>' and _msmarkedsectionclose-style
+    # ']\s*]\s*>'), not just the strict literals
+    r"<!--.*?(?:--\s*>|$)"
+    r"|<!\[CDATA\[.*?(?:\]\s*\]\s*>|$)"
+    # non-CDATA marked section: silent to ']>' (or swallow to EOF,
+    # matching html.parser's incomplete-section behavior)
+    r"|<!\[.*?(?:\]\s*>|$)"
+    # NAMED declarations (<!DOCTYPE ...>) parse quote-aware; any other
+    # '<!...' is a bogus comment consumed silently to the first '>'
+    r"|<![a-zA-Z](?:[^>\"']|\"[^\"]*\"|'[^']*')*(?:>|$)"
+    r"|<![^>]*(?:>|$)"
     r"|<\?[^>]*(?:>|$)"
     r"|</>"
     r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*(?:>|$)"
-    r"|<([a-zA-Z][^\t\n\r\f />]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+    # '</' + non-letter = bogus comment (w3c end-tag-open-state):
+    # html.parser consumes silently to the next '>'
+    r"|</[^>]*(?:>|$)"
+    # attrs: quoted atoms first (protects '>' inside quotes), then any
+    # other non-'>' char, then a STRAY quote (html.parser's tolerant
+    # attr parsing accepts lone quotes in names/values)
+    r"|<([a-zA-Z][^\t\n\r\f />]*)((?:\"[^\"]*\"|'[^']*'|[^>\"']|[\"'])*?)(/?)>"
     r"|[^<]+"
     r"|<",
     re.S,

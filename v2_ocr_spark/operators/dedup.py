@@ -151,33 +151,48 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bucket")
 
-    # ONE shuffle collects each bucket's member list; the size filter is
-    # both the >=2 pairing condition and the degenerate-bucket guardrail
-    # (boilerplate clusters; exact dedup handles them upstream). This
-    # replaces the bucket-size groupBy + anti-join + self-equi-join +
-    # distinct formulation: same pair set, 2 shuffles instead of 4, and
-    # the banded entries are scanned once instead of three times.
-    # Group size is bounded by max_bucket, so collect_list cannot blow
-    # up a task even on a 10^12-row input.
+    # Degenerate-bucket guardrail FIRST (boilerplate clusters; exact
+    # dedup handles them upstream): bucket sizes are a cheap count
+    # aggregate (map-side partial, constant buffer), and the oversized
+    # set broadcasts into an anti-join. Only THEN are surviving buckets'
+    # member lists collected — so collect_list's aggregation buffer is
+    # genuinely bounded by max_bucket even on a 10^12-row input.
+    # (Filtering on size AFTER a bare collect_list would build the
+    # multi-million-member array before discarding it.)
     import pandas as pd
 
+    sizes = band_entries.groupBy("band", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    keep = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "band", "bucket"
+    )
     buckets = (
-        band_entries.groupBy("band", "bucket")
+        band_entries.join(F.broadcast(keep), ["band", "bucket"])
+        .groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         .select("ids")
     )
+
+    # Pair fan-out streams: per-bucket dedup only, flushed in bounded
+    # chunks — a max_bucket-sized bucket yields C(n,2) pairs through a
+    # ~2M-pair buffer instead of one giant in-memory set. Cross-bucket
+    # duplicates are removed by the final distinct().
+    FLUSH = 2_000_000
 
     def emit_pairs(batches):
         from itertools import combinations
 
+        buf: list[tuple[int, int]] = []
         for pdf in batches:
-            seen = set()  # batch-local dedup shrinks the distinct()
             for ids in pdf["ids"]:
-                for a, b in combinations(sorted(int(i) for i in ids), 2):
-                    seen.add((a, b))
-            if seen:
-                yield pd.DataFrame(sorted(seen), columns=["doc_a", "doc_b"])
+                for pair in combinations(sorted({int(i) for i in ids}), 2):
+                    buf.append(pair)
+                    if len(buf) >= FLUSH:
+                        yield pd.DataFrame(buf, columns=["doc_a", "doc_b"])
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=["doc_a", "doc_b"])
 
     return (
         buckets.mapInPandas(emit_pairs, schema="doc_a long, doc_b long")

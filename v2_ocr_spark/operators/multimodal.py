@@ -280,8 +280,15 @@ def resample_audio(audio: DataFrame, target_rate: int = 16000) -> DataFrame:
                     rows.append((doc_id, b, 0, 0))
                     continue
                 rate, n = struct.unpack(">ii", b[4:12])
-                pcm = b[12:12 + n]
-                if rate and rate != target_rate:
+                # clamp to the ACTUAL payload — the header count is
+                # untrusted (truncated/corrupt payloads pass through
+                # like any other undecodable input, never crash a task)
+                pcm = b[12:12 + max(n, 0)]
+                n = len(pcm)
+                if not n:
+                    rows.append((doc_id, b, 0, 0))
+                    continue
+                if rate > 0 and rate != target_rate:
                     m = max(1, (n * target_rate) // rate)
                     idx = [(i * rate) // target_rate for i in range(m)]
                     pcm = bytes(pcm[min(i, n - 1)] for i in idx)

@@ -195,29 +195,33 @@ def ivf_topk(
 
 def srp_signatures(
     emb_unit: DataFrame, n_tables: int = 8, n_bits: int = 12,
-    dim: int = 64, seed: int = 42,
+    seed: int = 42,
 ) -> DataFrame:
     """-> (vec_id, table, bucket): sign-random-projection signatures.
 
     One Arrow-batched numpy pass: the whole batch's vectors multiply
     the (n_tables*n_bits, dim) plane matrix at BLAS speed, then the
-    sign bits pack into one bucket id per table. Hyperplanes are
-    seed-deterministic, so signatures are stable across runs and
-    executors. (Catalyst per-element array ops would be interpreted —
-    same rationale as the minhash kernel.)
+    sign bits pack into one bucket id per table. Hyperplanes derive
+    deterministically from (seed) and the dimensionality OBSERVED in
+    the batch — every executor regenerates the identical matrix, no
+    driver-side job and no dim parameter to get wrong. (Catalyst
+    per-element array ops would be interpreted — same rationale as the
+    minhash kernel.)
     """
     import numpy as np
     import pandas as pd
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables * n_bits, dim))
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def run(batches):
+        planes = None
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["unit"]])
+            if planes is None or planes.shape[1] != mat.shape[1]:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((n_tables * n_bits, mat.shape[1]))
             bits = (mat @ planes.T) > 0  # (rows, n_tables*n_bits)
             bits = bits.reshape(len(pdf), n_tables, n_bits)
             buckets = (bits * weights).sum(axis=2)  # (rows, n_tables)
@@ -254,8 +258,7 @@ def srp_lsh_topk(
     candidates-only, as in the minhash pipeline.
     """
     emb = with_unit_norm(_emb(spark, sf_dir)).select("vec_id", "unit")
-    dim = len(emb.select("unit").first()["unit"])
-    sig = srp_signatures(emb, n_tables, n_bits, dim)
+    sig = srp_signatures(emb, n_tables, n_bits)
 
     q_sig = sig.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"

@@ -169,17 +169,21 @@ def backfill_column(
 def compact_partitions(
     spark: SparkSession,
     out_dir: str,
-    num_partitions: int = 32,
     pids: list[int] | None = None,
 ) -> dict:
     """Small-files maintenance — the MergeSink analog of Iceberg's
     ``rewrite_data_files``. Long append workloads (and any write under
     spark.sql.files.maxRecordsPerFile) leave partitions holding many
-    small files; reads then pay per-file open cost. Rewriting a partition's rows through the same
-    copy-on-write path lands them as one densely-packed, turn-sorted
+    small files; reads then pay per-file open cost. Rewriting a
+    partition's rows lands them as one densely-packed, turn-sorted
     file, with the atomic per-partition promote preserving snapshot
     lineage (op='compact' in the commit metrics). Rows are
     byte-identical before and after.
+
+    Each row KEEPS the pid it is already stored under — compaction must
+    never re-derive partition assignment (a conv_id re-hash under a
+    different partition count would scatter rows into pids that are not
+    being promoted, i.e. silent data loss).
 
     At 100 TB: run per-partition on a schedule (the pids argument
     bounds each run), exactly like Iceberg compaction jobs."""
@@ -188,7 +192,26 @@ def compact_partitions(
     if not targets:
         return {"run_id": None, "rewritten": []}
     current = sink.read(spark)
-    subset = current.where(F.col("pid").isin(targets)).drop("pid")
-    return _rewrite_partitions(
-        spark, sink, subset, targets, num_partitions, "compact"
+    run_id = f"compact-{uuid.uuid4().hex[:8]}"
+    (
+        current.where(F.col("pid").isin(targets))
+        .repartition("pid")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.partitionBy("pid")
+        .mode("overwrite")
+        .parquet(sink.staging_dir(run_id))
     )
+    committed = []
+    for pid in targets:
+        n = 0
+        try:
+            n = spark.read.parquet(
+                f"{sink.staging_dir(run_id)}/pid={pid}"
+            ).count()
+        except Exception:  # noqa: BLE001 — partition was empty
+            pass
+        sink.promote(
+            run_id, pid, {"op": "compact", "rows_after": n, "at": time.time()}
+        )
+        committed.append(pid)
+    return {"run_id": run_id, "rewritten": committed}
