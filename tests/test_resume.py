@@ -120,3 +120,59 @@ def test_conversations_never_straddle_partitions(job_factory):
         .count()
     )
     assert n == 0
+
+
+def test_incremental_recomputes_only_changed_partitions(
+    spark, sf_small, tmp_path
+):
+    """Appending turns to an append-only input re-extracts ONLY the
+    partition owning the appended conversation; everything else keeps
+    its snapshot. Result equals a from-scratch run on the full input."""
+    import shutil
+
+    from v2_ocr_spark.pipeline.runner import ExtractionJob, partition_id
+
+    src = str(tmp_path / "inc_in")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_small}/transcripts.parquet", src)
+    out = str(tmp_path / "inc_out")
+    job = ExtractionJob(spark, src, out, num_partitions=8)
+    job.run()
+    assert job.run(incremental=True)["status"] == "up-to-date"
+
+    # append new turns for one existing conversation (new parquet file)
+    newturns = spark.createDataFrame(
+        [("conv00000001", 900 + i, "user", f"appended turn {i}", None, None)
+         for i in range(3)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    newturns.coalesce(1).write.mode("append").parquet(src)
+    target_pid = (
+        newturns.select(partition_id("conv_id", 8).alias("p")).first()["p"]
+    )
+
+    # plain resume considers everything committed -> misses the appends
+    assert job.run()["status"] == "up-to-date"
+    res = job.run(incremental=True)
+    assert res["committed"] == [target_pid]
+
+    got = (
+        job.read_output()
+        .select("conv_id", "turn_idx", "extracted_text")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    fresh = ExtractionJob(spark, src, str(tmp_path / "inc_full"), 8)
+    fresh.run()
+    want = (
+        fresh.read_output()
+        .select("conv_id", "turn_idx", "extracted_text")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got == want
+    # and a further incremental run is a no-op
+    assert job.run(incremental=True)["status"] == "up-to-date"

@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-partitions", type=int, default=32)
     ap.add_argument("--max-attempts", type=int, default=3)
+    ap.add_argument("--incremental", action="store_true",
+                    help="also re-extract committed partitions whose "
+                         "input fingerprint changed (appended data)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,7 +42,7 @@ def main() -> None:
         num_partitions=args.num_partitions,
         max_attempts=args.max_attempts,
     )
-    result = job.run()
+    result = job.run(incremental=args.incremental)
     rows = job.read_output().count()
     print(json.dumps({**result, "total_rows_visible": rows}))
     spark.stop()
