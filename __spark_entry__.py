@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash_pairs,
+        "dedup_clusters": dedup.duplicate_clusters,
         # similarity (embeddings table)
         "ann_brute_force_topk": similarity.brute_force_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -566,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text HAVING count(*) > 1"
         ),
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
         "dedup_minhash_lsh": _JACCARD_SQL,  # same contract: all pairs >= 0.5
         # ---- similarity (embeddings view) ----
         "cosine_near_dup": (
@@ -610,6 +612,24 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_frame_sample, multimodal_audio_chunks.
     }
     return sql
+
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s "
+    "FROM documents), "
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(a.s, b.s))) >= 0.5), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "reach AS (SELECT src AS doc_id, src AS reach FROM edges "
+    "UNION SELECT e.src, r.reach FROM edges e JOIN reach r ON e.dst = r.doc_id) "
+    "SELECT doc_id, min(reach) AS cluster_id FROM reach GROUP BY doc_id"
+)
 
 
 _JACCARD_SQL = (

@@ -204,3 +204,22 @@ def test_srp_lsh_recall_vs_brute_force(spark):
         .count()
     )
     assert n_cand / 10 < 0.6 * 499
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Clusters are the transitive closure of the pair graph: every
+    pair shares a cluster; the label is the component minimum."""
+    pairs = dedup.minhash_lsh_pairs(spark, SF).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(spark, SF).collect()
+    }
+    assert pairs
+    for r in pairs:
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+    # label is the minimum member of its own component
+    members = {}
+    for doc, lab in labels.items():
+        members.setdefault(lab, []).append(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs)

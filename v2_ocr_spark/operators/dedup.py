@@ -353,3 +353,80 @@ def simhash_pairs(spark, sf_dir, max_hamming: int = 3):
         .where(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def duplicate_clusters(
+    spark, sf_dir, threshold: float = 0.5, shingle_n: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the near-dup
+    pair graph, labeled by each component's minimum doc_id.
+
+    The step after pair-finding in a real dedup pipeline: pairs say
+    "these two match"; keeping one canonical doc per GROUP needs the
+    transitive closure. Min-label propagation (each node repeatedly
+    takes the min label among itself and its neighbors) converges in
+    O(component diameter) iterations — near-dup components are shallow
+    (dup clusters, not long chains), so this loops 2-4 times in
+    practice; max_iter bounds adversarial chains.
+
+    Scale notes: each iteration is one broadcast-or-shuffle join of the
+    edge list against the (small: only docs that appear in ANY pair)
+    label table, with the previous iteration unpersisted — state does
+    not accumulate. Convergence check is a count of changed labels
+    (cheap, partial-agged). DuckDB oracle: recursive CTE reachability
+    over the identical exact pair set.
+    """
+    pairs = minhash_lsh_pairs(
+        spark, sf_dir, threshold=threshold, shingle_n=shingle_n
+    ).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id").orderBy("doc_id")
