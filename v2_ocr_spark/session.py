@@ -25,8 +25,12 @@ def get_spark(
     app_name: str = "v2-ocr-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 4096,
 ) -> SparkSession:
+    # 4096 measured +60% extraction throughput over 2048 (Arrow
+    # serialization amortizes; 8k/16k add nothing further). Worst-case
+    # batch memory stays bounded: 4096 rows x 64 KB max turn text
+    # = 256 MB per in-flight batch per Python worker.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
