@@ -140,3 +140,51 @@ def test_stream_turn_metrics_watermarked(spark, sf_small, tmp_path):
     got = got[got["window_start"] < open_cut].reset_index(drop=True)
     assert len(got) > 0
     assert got.equals(closed)
+
+
+def test_stream_extract_upsert_foreachbatch(spark, sf_small, tmp_path):
+    """foreachBatch landing in the MergeSink: stream result equals the
+    batch pipeline; replay is a no-op; appended files merge in."""
+    import os
+
+    from v2_ocr_spark.pipeline.sink import MergeSink
+    from v2_ocr_spark.streaming.stateful import stream_extract_upsert
+
+    src = str(tmp_path / "fb_in")
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    os.makedirs(src)
+    shutil.copy(f"{sf_small}/transcripts.parquet", src)
+
+    q = stream_extract_upsert(spark, src, out, ckpt, num_partitions=4)
+    q.awaitTermination(300)
+
+    sink = MergeSink(out)
+    got = sink.read(spark)
+    batch = extract_turns(spark.read.parquet(f"{sf_small}/transcripts.parquet"))
+    assert got.count() == batch.count()
+
+    # replay over the same backlog: source commit log skips it
+    q2 = stream_extract_upsert(spark, src, out, ckpt, num_partitions=4)
+    q2.awaitTermination(300)
+    assert sink.read(spark).count() == batch.count()
+
+    # append: a new conversation merges in, existing rows upsert
+    extra = spark.createDataFrame(
+        [("convstream0", 1, "user", "streamed turn", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    q3 = stream_extract_upsert(spark, src, out, ckpt, num_partitions=4)
+    q3.awaitTermination(300)
+    final = sink.read(spark)
+    assert final.count() == batch.count() + 1
+    assert (
+        final.where("conv_id = 'convstream0'").first()["extracted_text"]
+        == "streamed turn"
+    )
+    dups = (
+        final.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    assert dups == 0

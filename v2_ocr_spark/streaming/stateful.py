@@ -159,3 +159,63 @@ def stream_turn_metrics(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int = 8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming extraction landing in the transactional MergeSink via
+    foreachBatch — the third Structured Streaming idiom next to the
+    append sink (stream_extract) and arbitrary state (sessionizer).
+
+    Each micro-batch extracts its files' turns and MERGEs them into the
+    batch table keyed (conv_id, turn_idx). End-to-end effectively-once:
+    the source commit log makes batch replay the only duplication mode,
+    and merge_upsert is idempotent, so a replayed batch is a no-op.
+    The same pattern targets Iceberg MERGE INTO on a real cluster
+    (pipeline/iceberg.py).
+    """
+    from v2_ocr_spark.operators.extract import extract_turns
+    from v2_ocr_spark.pipeline.maintenance import merge_upsert
+    from v2_ocr_spark.streaming.stream_extract import TRANSCRIPT_DDL
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+
+    def land(batch_df, batch_id: int) -> None:
+        from v2_ocr_spark.pipeline.maintenance import (
+            _affected_pids,
+            _rewrite_partitions,
+        )
+        from v2_ocr_spark.pipeline.sink import MergeSink
+
+        extracted = extract_turns(batch_df)
+        try:
+            merge_upsert(
+                spark, out_dir, extracted, num_partitions=num_partitions
+            )
+        except FileNotFoundError:
+            # empty sink: first batch bootstraps the table through the
+            # same copy-on-write commit path (op='bootstrap')
+            pids = _affected_pids(
+                extracted.select("conv_id").distinct(), num_partitions
+            )
+            _rewrite_partitions(
+                spark, MergeSink(out_dir), extracted, pids,
+                num_partitions, "bootstrap",
+            )
+
+    writer = stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
