@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_rollup": _rel(relational.status_rollup),
         "distinct_users": relational.distinct_users,
         "value_percentiles": relational.value_percentiles,
+        "value_histogram": relational.value_histogram,
+        "approx_distinct_users": relational.approx_distinct_users,
         # dedup (documents table)
         "dedup_exact": dedup.exact_duplicates,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -552,6 +554,12 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.5), 6) AS p50, "
             "round(quantile_cont(value, 0.95), 6) AS p95 "
             "FROM events GROUP BY event_type"
+        ),
+        "value_histogram": (
+            "WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) "
+            "SELECT event_type, CAST(least(19, floor((value - lo) / "
+            "((hi - lo) / 20))) AS INT) AS bin, count(*) AS n "
+            "FROM events, b GROUP BY 1, 2"
         ),
         "top_events_per_user": (
             "WITH r AS (SELECT user_id, event_id, event_type, "

@@ -223,3 +223,26 @@ def test_duplicate_clusters_transitive(spark):
         members.setdefault(lab, []).append(doc)
     for lab, docs in members.items():
         assert lab == min(docs)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from v2_ocr_spark.operators import relational
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in relational.approx_distinct_users(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 3 * 0.02 * exact[k]), (
+            k, est, exact[k],
+        )

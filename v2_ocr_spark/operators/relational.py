@@ -565,3 +565,40 @@ def value_percentiles(spark, sf_dir):
             F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         )
     )
+
+
+def value_histogram(spark, sf_dir, n_bins: int = 20):
+    """Fixed-bin histogram of event values per type — the exact,
+    SQL-expressible cousin of a sketch: bin width derives from the
+    global min/max (one cheap pre-agg, broadcastable), then one
+    codegen'd groupBy. At 10^12 rows both aggregations are map-side
+    partial; no sort, no window."""
+    e = _e(spark, sf_dir).select("event_type", "value")
+    bounds = e.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bins)
+            ),
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n")
+    )
+
+
+def approx_distinct_users(spark, sf_dir, rsd: float = 0.02):
+    """HyperLogLog++ distinct-user estimate per event type — the
+    sketch path for cardinality at 10^12 rows (fixed-size sketch per
+    group, map-side mergeable; exact distinct shuffles every key).
+    Checked against exact counts within 3*rsd in tests (rows-only for
+    the driver: DuckDB's approx sketch differs)."""
+    e = _e(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
