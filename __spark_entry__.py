@@ -616,7 +616,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only exceptions (engine-specific hashing or stubbed
         # codecs; each recall/plumbing-tested in tests/):
         # dedup_simhash, ann_ivf_topk, ann_srp_lsh_topk,
-        # rolling_fingerprint, multimodal_image_meta,
+        # approx_distinct_users, rolling_fingerprint, multimodal_image_meta,
         # multimodal_frame_sample, multimodal_audio_chunks.
     }
     return sql

@@ -210,15 +210,20 @@ def test_e15_spans_tile_output(s):
 
 
 def _divergent_markup(s: str) -> bool:
-    """The pinned divergence class where fast-path and html.parser may
-    differ on JUNK markup (never on content text):
-      * comment/CDATA/decl/PI/end-tag unterminated at EOF (fast:
-        consumed silently; html.parser: flushed as text at close());
-      * '<!' bogus declarations / non-CDATA marked sections containing
-        quotes (html.parser's quote handling there is stateful);
-      * a stray quote inside a tag outside value position (html.parser
-        ends the tag at a '>' even inside such a quote).
-    Closers use html.parser's loose forms ('--\\s*>', ']\\s*]\\s*>')."""
+    """The pinned divergence class: inputs containing junk-markup
+    constructs where flatten_html (the PRODUCTION spec) intentionally
+    differs from html.parser — html.parser variously flushes the junk
+    as phantom text, truncates the document (non-CDATA marked
+    sections), or abandons half-parsed tags; the fast path consumes
+    each construct deterministically and keeps parsing. Classes:
+      * comment/CDATA/decl/PI/end-tag unterminated at EOF;
+      * non-CDATA marked sections ('<![...'), and declarations with
+        internal-subset brackets ('<!DOCTYPE x [...');
+      * a stray/unclosed quote inside a tag;
+      * a '<' inside a tag candidate.
+    Outside these classes the two parsers agree node-for-node
+    (300k-doc fuzz, goldens, all fixture payloads). Closers use
+    html.parser's loose forms ('--\\s*>', ']\\s*]\\s*>')."""
     import re as _re
 
     for opener, closer, off in (
@@ -232,11 +237,11 @@ def _divergent_markup(s: str) -> bool:
         j = s.rfind(opener)
         if j != -1 and s.find(">", j) == -1:
             return True
-    if _re.search(r"<!(?!--|\[CDATA\[|[a-zA-Z])", s):
+    # non-CDATA marked sections and declarations with internal-subset
+    # brackets hit markupbase's stateful scanners — junk class
+    if _re.search(r"<!\[(?!CDATA\[)", s):
         return True
-    # named declarations with quotes/internal-subset brackets hit
-    # markupbase's stateful decl scanner — same junk class
-    if _re.search(r"<![a-zA-Z][^>]*['\"\[]", s):
+    if _re.search(r"<![a-zA-Z][^>]*\[", s):
         return True
     # a '<' INSIDE a tag candidate: html.parser abandons the tag and
     # re-parses from the inner '<'; the fast tokenizer keeps it in the

@@ -176,3 +176,38 @@ def test_incremental_recomputes_only_changed_partitions(
     assert got == want
     # and a further incremental run is a no-op
     assert job.run(incremental=True)["status"] == "up-to-date"
+
+
+def test_incremental_preserves_maintenance_results(spark, sf_small, tmp_path):
+    """Maintenance rewrites carry the input fingerprint forward, so a
+    following incremental run does NOT re-extract maintained partitions
+    — deleted conversations stay deleted, compacted partitions keep
+    their files — until the source input actually changes."""
+    import os
+    import shutil
+
+    from v2_ocr_spark.pipeline.maintenance import (
+        compact_partitions,
+        delete_conversations,
+    )
+    from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+    src = str(tmp_path / "mi_in")
+    os.makedirs(src)
+    shutil.copy(f"{sf_small}/transcripts.parquet", src)
+    out = str(tmp_path / "mi_out")
+    job = ExtractionJob(spark, src, out, num_partitions=8)
+    job.run()
+
+    delete_conversations(spark, out, ["conv00000003"], num_partitions=8)
+    compact_partitions(spark, out)
+    assert job.read_output().where("conv_id = 'conv00000003'").count() == 0
+
+    res = job.run(incremental=True)
+    assert res["status"] == "up-to-date", res  # nothing re-extracted
+    assert job.read_output().where("conv_id = 'conv00000003'").count() == 0
+
+    # compaction refuses to fabricate commits for uncommitted pids
+    res2 = compact_partitions(spark, out, pids=list(range(16)))
+    assert res2["skipped"] == list(range(8, 16))
+    assert job.run(incremental=True)["status"] == "up-to-date"

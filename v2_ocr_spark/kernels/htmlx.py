@@ -221,9 +221,9 @@ _TOKEN = re.compile(
     # non-CDATA marked section: silent to ']>' (or swallow to EOF,
     # matching html.parser's incomplete-section behavior)
     r"|<!\[.*?(?:\]\s*>|$)"
-    # NAMED declarations (<!DOCTYPE ...>) parse quote-aware; any other
-    # '<!...' is a bogus comment consumed silently to the first '>'
-    r"|<![a-zA-Z](?:[^>\"']|\"[^\"]*\"|'[^']*')*(?:>|$)"
+    # declarations and bogus '<!...' constructs end at the FIRST '>'
+    # (html.parser is not quote-aware here — verified: <!DOCTYPE x "a>b">
+    # ends at the '>' inside the quotes), consumed silently
     r"|<![^>]*(?:>|$)"
     r"|<\?[^>]*(?:>|$)"
     r"|</>"

@@ -357,7 +357,7 @@ def simhash_pairs(spark, sf_dir, max_hamming: int = 3):
 
 def duplicate_clusters(
     spark, sf_dir, threshold: float = 0.5, shingle_n: int = 3,
-    max_iter: int = 20,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the near-dup
     pair graph, labeled by each component's minimum doc_id.
@@ -368,7 +368,11 @@ def duplicate_clusters(
     takes the min label among itself and its neighbors) converges in
     O(component diameter) iterations — near-dup components are shallow
     (dup clusters, not long chains), so this loops 2-4 times in
-    practice; max_iter bounds adversarial chains.
+    practice. The loop runs TO CONVERGENCE by default (provably
+    terminates in <= component-diameter rounds) so output always equals
+    the exact transitive closure the DuckDB oracle computes — a fixed
+    cap would silently split long chain components; pass max_iter only
+    to bound latency when approximate clusters are acceptable.
 
     Scale notes: each iteration is one broadcast-or-shuffle join of the
     edge list against the (small: only docs that appear in ANY pair)
@@ -394,7 +398,9 @@ def duplicate_clusters(
     )
     labels.count()
 
-    for _ in range(max_iter):
+    import itertools
+
+    for _ in (range(max_iter) if max_iter is not None else itertools.count()):
         neighbor_min = (
             edges.join(
                 labels.select(

@@ -258,7 +258,11 @@ def srp_lsh_topk(
     candidates-only, as in the minhash pipeline.
     """
     emb = with_unit_norm(_emb(spark, sf_dir)).select("vec_id", "unit")
-    sig = srp_signatures(emb, n_tables, n_bits)
+    # the BLAS signature pass feeds BOTH sides of the bucket join —
+    # persist so the corpus is signed once (same pattern as the
+    # minhash pipeline's sig.persist())
+    sig = srp_signatures(emb, n_tables, n_bits).persist()
+    sig.count()
 
     q_sig = sig.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"

@@ -48,18 +48,36 @@ def _rewrite_partitions(
     pids: list[int],
     num_partitions: int,
     op: str,
+    recompute_pid: bool = True,
 ) -> dict:
     """Copy-on-write: stage replacement files for the affected
-    partitions, then promote each atomically."""
+    partitions, then promote each atomically.
+
+    ``recompute_pid=False`` trusts an existing ``pid`` column instead
+    of re-hashing conv_id — REQUIRED for ops (compaction) that must
+    never re-derive partition assignment under a possibly-different
+    partition count.
+
+    Maintenance rewrites do not consume new input, so each promoted
+    commit CARRIES FORWARD the prior commit's input fingerprint
+    (input_rows/input_sig) — without this, the next incremental run
+    would see a missing baseline, treat the partition as changed, and
+    re-extract it from the raw source (resurrecting deleted
+    conversations and reverting upserts/backfills)."""
     run_id = f"{op}-{uuid.uuid4().hex[:8]}"
+    if recompute_pid:
+        new_rows = new_rows.withColumn(
+            "pid", partition_id("conv_id", num_partitions)
+        )
     (
-        new_rows.withColumn("pid", partition_id("conv_id", num_partitions))
+        new_rows
         .repartition("pid")
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.partitionBy("pid")
         .mode("overwrite")
         .parquet(sink.staging_dir(run_id))
     )
+    prior = sink.committed()
     committed = []
     for pid in pids:
         n = 0
@@ -69,9 +87,12 @@ def _rewrite_partitions(
             ).count()
         except Exception:  # noqa: BLE001 — partition emptied entirely
             pass
-        sink.promote(
-            run_id, pid, {"op": op, "rows_after": n, "at": time.time()}
-        )
+        metrics = {"op": op, "rows_after": n, "at": time.time()}
+        prev = prior.get(pid, {}).get("metrics", {})
+        for k in ("input_rows", "input_sig"):
+            if k in prev:
+                metrics[k] = prev[k]
+        sink.promote(run_id, pid, metrics)
         committed.append(pid)
     return {"run_id": run_id, "rewritten": committed}
 
@@ -188,30 +209,22 @@ def compact_partitions(
     At 100 TB: run per-partition on a schedule (the pids argument
     bounds each run), exactly like Iceberg compaction jobs."""
     sink = MergeSink(out_dir)
-    targets = sorted(sink.committed()) if pids is None else sorted(pids)
+    committed_pids = set(sink.committed())
+    # only COMMITTED partitions can be compacted: promoting an
+    # uncommitted pid would publish an empty dir + commit marker that
+    # pending_partitions then skips forever — silent data loss
+    if pids is None:
+        targets, skipped = sorted(committed_pids), []
+    else:
+        targets = sorted(set(pids) & committed_pids)
+        skipped = sorted(set(pids) - committed_pids)
     if not targets:
-        return {"run_id": None, "rewritten": []}
+        return {"run_id": None, "rewritten": [], "skipped": skipped}
     current = sink.read(spark)
-    run_id = f"compact-{uuid.uuid4().hex[:8]}"
-    (
-        current.where(F.col("pid").isin(targets))
-        .repartition("pid")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.partitionBy("pid")
-        .mode("overwrite")
-        .parquet(sink.staging_dir(run_id))
+    res = _rewrite_partitions(
+        spark, sink,
+        current.where(F.col("pid").isin(targets)),
+        targets, 0, "compact", recompute_pid=False,
     )
-    committed = []
-    for pid in targets:
-        n = 0
-        try:
-            n = spark.read.parquet(
-                f"{sink.staging_dir(run_id)}/pid={pid}"
-            ).count()
-        except Exception:  # noqa: BLE001 — partition was empty
-            pass
-        sink.promote(
-            run_id, pid, {"op": "compact", "rows_after": n, "at": time.time()}
-        )
-        committed.append(pid)
-    return {"run_id": run_id, "rewritten": committed}
+    res["skipped"] = skipped
+    return res
