@@ -93,6 +93,21 @@ def main() -> None:
         "ann_brute_force_topk",
         lambda: similarity.brute_force_topk(spark, SF_DIR).count(),
     )
+    timed(
+        "ann_srp_lsh_topk",
+        lambda: similarity.srp_lsh_topk(spark, SF_DIR).count(),
+    )
+
+    def _dom():
+        from v2_ocr_spark.operators.dom import (
+            classify_nodes, flatten_dom, reassemble_content,
+        )
+
+        reassemble_content(classify_nodes(flatten_dom(transcripts))).agg(
+            F.sum(F.length("extracted_text"))
+        ).collect()
+
+    timed("dom_flatten_classify_reassemble", _dom)
     timed("quality_score",
           lambda: textstats.quality_score(spark, SF_DIR)
           .agg(F.sum("quality")).collect())
