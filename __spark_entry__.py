@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_turns": lambda spark, sf_dir: textstats.quality_score_for(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
+        "normalize_nfc": lambda spark, sf_dir: textstats.normalize_nfc(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        ),
+        "redact_pii": lambda spark, sf_dir: textstats.redact_pii(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        ),
         "token_counts": textstats.token_counts,
         "fingerprints": textstats.fingerprints,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -602,6 +608,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_turns": _lang_id_sql(_T, "conv_id, turn_idx"),
         "quality_score": _quality_sql(),
         "quality_turns": _quality_sql(_T, "conv_id, turn_idx"),
+        "normalize_nfc": (
+            f"SELECT conv_id, turn_idx, nfc_normalize(coalesce(text, '')) "
+            f"AS nfc_text FROM {_T}"
+        ),
+        "redact_pii": (
+            "SELECT conv_id, turn_idx, "
+            "regexp_replace(regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted_text, "
+            "CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            r"'\+?[0-9][0-9 ()-]{7,}[0-9]')) AS INT) AS n_phones "
+            f"FROM {_T}"
+        ),
         "token_counts": (
             "SELECT doc_id, "
             r"CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens, "

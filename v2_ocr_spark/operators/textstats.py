@@ -180,3 +180,55 @@ def rolling_fingerprint(spark, sf_dir, window: int = 8) -> DataFrame:
     return d.mapInPandas(
         run, schema="doc_id long, fingerprint_set array<long>"
     )
+
+
+def normalize_nfc(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Unicode NFC normalization of the text column — the standard
+    pre-tokenization canonicalization (combining marks compose; NFC
+    leaves compatibility chars like ligatures alone). Runs as one
+    zero-shuffle Arrow pass (pandas' C-level str.normalize); DuckDB's
+    nfc_normalize is the oracle twin."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = [*keys, "nfc_text"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[keys].copy()
+            out["nfc_text"] = pdf["text"].fillna("").str.normalize("NFC")
+            yield out[cols]
+
+    key_ddl = ", ".join(
+        f"{k} {'int' if k == 'turn_idx' else 'string'}" for k in keys
+    )
+    return df.select(*keys, "text").mapInPandas(
+        run, schema=f"{key_ddl}, nfc_text string"
+    )
+
+
+# RE2-safe patterns (no backrefs/lookaround) so the Spark (Java regex)
+# and DuckDB (RE2) sides agree byte-for-byte
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Mask email addresses and phone-number-shaped digit runs — the
+    baseline PII scrub every training-data pipeline applies before
+    tokenization. Pure codegen (two regexp_replace), plus per-row hit
+    counts for audit metrics."""
+    text = F.col("text")
+    return df.select(
+        *keys,
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted_text"),
+        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
+    )
