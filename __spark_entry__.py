@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": lambda spark, sf_dir: textstats.redact_pii(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
+        "repetition_stats": textstats.repetition_stats,
+        "hash_sample": textstats.hash_sample,
         "token_counts": textstats.token_counts,
         "fingerprints": textstats.fingerprints,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -611,6 +613,23 @@ def oracle_sql() -> dict[str, str]:
         "normalize_nfc": (
             f"SELECT conv_id, turn_idx, nfc_normalize(coalesce(text, '')) "
             f"AS nfc_text FROM {_T}"
+        ),
+        "repetition_stats": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, chr(10))) AS INT) AS n_lines, "
+            "CAST(len(list_distinct(string_split(text, chr(10)))) AS INT) "
+            "AS distinct_lines, "
+            "round(CAST(len(string_split(text, chr(10))) - "
+            "len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) / "
+            "greatest(len(string_split(text, chr(10))), 1), 6) "
+            "AS dup_line_frac FROM documents"
+        ),
+        "hash_sample": (
+            "SELECT doc_id, CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS INT) "
+            "AS bucket FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+            "::UBIGINT < 6553"
         ),
         "redact_pii": (
             "SELECT conv_id, turn_idx, "

@@ -232,3 +232,35 @@ def redact_pii(df: DataFrame, keys: list[str]) -> DataFrame:
         F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+def repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition signals per document: line counts and
+    the duplicate-line fraction (boilerplate/listing detector). Pure
+    codegen array ops; DuckDB list functions are the twin."""
+    d = _docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return d.select(
+        "doc_id",
+        n.alias("n_lines"),
+        uniq.alias("distinct_lines"),
+        F.round(
+            (n - uniq).cast("double") / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_line_frac"),
+    )
+
+
+def hash_sample(spark, sf_dir, rate: float = 0.1) -> DataFrame:
+    """Deterministic hash-bucket sampling: keep docs whose md5(doc_id)
+    prefix falls under rate — reproducible across runs, engines and
+    cluster sizes (unlike RNG-based df.sample), and stable under
+    re-partitioning, which is what makes sampled pipelines auditable
+    at 10^12 rows. DuckDB computes the identical md5 bucket."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    cut = int(65536 * rate)
+    d = _docs(spark, sf_dir)
+    return d.where(h < cut).select("doc_id", h.alias("bucket"))
