@@ -616,21 +616,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "repetition_stats": (
             "SELECT doc_id, "
-            "CAST(len(string_split(text, chr(10))) AS INT) AS n_lines, "
-            "CAST(len(list_distinct(string_split(text, chr(10)))) AS INT) "
+            "CAST(len(string_split(coalesce(text, ''), chr(10))) AS INT) AS n_lines, "
+            "CAST(len(list_distinct(string_split(coalesce(text, ''), chr(10)))) AS INT) "
             "AS distinct_lines, "
-            "round(CAST(len(string_split(text, chr(10))) - "
-            "len(list_distinct(string_split(text, chr(10)))) AS DOUBLE) / "
-            "greatest(len(string_split(text, chr(10))), 1), 6) "
+            "round(CAST(len(string_split(coalesce(text, ''), chr(10))) - "
+            "len(list_distinct(string_split(coalesce(text, ''), chr(10)))) AS DOUBLE) / "
+            "greatest(len(string_split(coalesce(text, ''), chr(10))), 1), 6) "
             "AS dup_line_frac FROM documents"
         ),
-        "hash_sample": (
-            "SELECT doc_id, CAST(('0x' || "
-            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS INT) "
-            "AS bucket FROM documents "
-            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
-            "::UBIGINT < 6553"
-        ),
+        "hash_sample": _hash_sample_sql(),
         "redact_pii": (
             "SELECT conv_id, turn_idx, "
             "regexp_replace(regexp_replace(text, "
@@ -701,6 +695,18 @@ _STOP_SQL = {
     )
     for lang in ("en", "de", "fr", "es")
 }
+
+def _hash_sample_sql(rate: float = 0.1) -> str:
+    from v2_ocr_spark.operators.textstats import hash_sample_cutoff
+
+    return (
+        "SELECT doc_id, CAST(('0x' || "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS INT) "
+        "AS bucket FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::UBIGINT < {hash_sample_cutoff(rate)}"
+    )
+
 
 def _lang_id_sql(table: str = "documents", keys: str = "doc_id") -> str:
     return (

@@ -239,7 +239,7 @@ def repetition_stats(spark, sf_dir) -> DataFrame:
     the duplicate-line fraction (boilerplate/listing detector). Pure
     codegen array ops; DuckDB list functions are the twin."""
     d = _docs(spark, sf_dir)
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
     n = F.size(lines)
     uniq = F.size(F.array_distinct(lines))
     return d.select(
@@ -252,6 +252,13 @@ def repetition_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def hash_sample_cutoff(rate: float) -> int:
+    """The md5-prefix bucket cutoff for a given rate — ONE derivation
+    shared by the Spark operator and its DuckDB oracle SQL so the two
+    can never drift when rate changes."""
+    return int(65536 * rate)
+
+
 def hash_sample(spark, sf_dir, rate: float = 0.1) -> DataFrame:
     """Deterministic hash-bucket sampling: keep docs whose md5(doc_id)
     prefix falls under rate — reproducible across runs, engines and
@@ -261,6 +268,10 @@ def hash_sample(spark, sf_dir, rate: float = 0.1) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("int")
-    cut = int(65536 * rate)
+    cut = hash_sample_cutoff(rate)
     d = _docs(spark, sf_dir)
+    # the bucket expression appears in both the Filter and the Project;
+    # aliasing it first would just be substituted back by predicate
+    # pushdown. The double md5 per KEPT row is accepted: it is trivial
+    # next to the scan and only applies to the sampled fraction.
     return d.where(h < cut).select("doc_id", h.alias("bucket"))
