@@ -291,7 +291,9 @@ _KIND = (
 # table): image refs, $$ unwrap, aligned unwrap, JS-whitespace trim.
 _E1_SQL = (
     "trim(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''), "
-    r"'!\[.*?\]\(.*?\)', '', 'g'), "
+    # RE2 '.' excludes only \n; spell out the JS LineTerminator set so
+    # the oracle matches the kernel's exact V8 '.' semantics
+    r"'!\[[^\n\r\x{2028}\x{2029}]*?\]\([^\n\r\x{2028}\x{2029}]*?\)', '', 'g'), "
     r"'\$\$([\s\S]*?)\$\$', '\1', 'g'), "
     r"'\\begin\{aligned\}([\s\S]*?)\\end\{aligned\}', '\1', 'g'), "
     f"'{JS_WS}')"

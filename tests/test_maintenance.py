@@ -197,3 +197,72 @@ def test_compact_never_rehashes_pids(spark, sf_small, tmp_path):
         .count()
     )
     assert pid_map == 0
+
+
+def test_sink_recovers_interrupted_promote(spark, populated):
+    """Crash window between the two promote renames: the data dir is
+    gone but the pre-swap .old dir survives — reads roll back to the
+    marker's snapshot instead of silently returning a partial table."""
+    import os
+
+    out, job = populated
+    n = job.read_output().count()
+    dst = os.path.join(out, "data", "pid=1")
+    os.replace(dst, dst + ".old.deadbeef")
+    assert not os.path.isdir(dst)
+    assert job.read_output().count() == n  # recover_partials healed it
+    assert os.path.isdir(dst)
+
+
+def test_partition_count_mismatch_rejected(spark, populated):
+    import pytest as _pytest
+
+    from v2_ocr_spark.pipeline.maintenance import merge_upsert
+    from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+    out, job = populated  # written with NP=8
+    updates = spark.createDataFrame(
+        [("conv00000001", 1, "X", None)],
+        "conv_id string, turn_idx int, extracted_text string, error string",
+    )
+    with _pytest.raises(ValueError, match="num_partitions=8"):
+        merge_upsert(spark, out, updates, num_partitions=32)
+    # default adopts the pinned count
+    merge_upsert(spark, out, updates)
+    # a second job over the same sink with a different count fails loudly
+    job2 = ExtractionJob(spark, job.input_path, out, num_partitions=16)
+    with _pytest.raises(ValueError, match="num_partitions=8"):
+        job2.run()
+
+
+def test_upsert_into_unextracted_partition_refused(spark, sf_small, tmp_path):
+    import pytest as _pytest
+
+    from v2_ocr_spark.pipeline.maintenance import merge_upsert
+    from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+    out = str(tmp_path / "part")
+    job = ExtractionJob(
+        spark, f"{sf_small}/transcripts.parquet", out, num_partitions=8
+    )
+    # commit only a subset of partitions (injected crash)
+    with _pytest.raises(RuntimeError):
+        job.run(fail_before_promote={4})
+    committed = set(job.sink.committed())
+    assert committed and 4 not in committed
+    # find a conv hashing to an uncommitted pid
+    from v2_ocr_spark.pipeline.runner import partition_id
+    import pyspark.sql.functions as F2
+
+    conv = (
+        spark.read.parquet(f"{sf_small}/transcripts.parquet")
+        .select("conv_id", partition_id("conv_id", 8).alias("p"))
+        .where(~F2.col("p").isin(sorted(committed)))
+        .first()
+    )
+    updates = spark.createDataFrame(
+        [(conv["conv_id"], 1, "X", None)],
+        "conv_id string, turn_idx int, extracted_text string, error string",
+    )
+    with _pytest.raises(ValueError, match="unextracted"):
+        merge_upsert(spark, out, updates)

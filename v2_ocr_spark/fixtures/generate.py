@@ -145,7 +145,9 @@ def gen_blocks(conv_id: str, turn_idx: int) -> str:
     h = _h("blk", conv_id, turn_idx)
     lang = _pick(BLOCK_LANGS, conv_id, turn_idx, "lang")
     rtlish = lang.lower().split("-")[0] in ("ar", "fa", "he", "ur", "syr")
-    bank = WORDS_AR if rtlish else (WORDS_FA if lang == "fa" else WORDS_EN)
+    # fa must pick the Farsi bank (it IS rtlish, so test it first —
+    # the old ternary order made the WORDS_FA branch unreachable)
+    bank = WORDS_FA if lang == "fa" else (WORDS_AR if rtlish else WORDS_EN)
     variant = h % 8
 
     if variant == 0:  # no regions key at all

@@ -43,8 +43,11 @@ JS_WS = (
     "\u2028\u2029\u202f\u205f\u3000\ufeff"
 )
 
-# JS /!\[.*?\]\(.*?\)/g — '.' does not cross newlines (no DOTALL).
-_IMAGE_REF = re.compile(r"!\[.*?\]\(.*?\)")
+# JS /!\[.*?\]\(.*?\)/g — JS '.' excludes the FULL LineTerminator set
+# (\n, \r, U+2028, U+2029), not just \n like Python's '.', so the class
+# is spelled out: '![a\rb](x)' must NOT match, exactly as in V8.
+_JS_DOT = "[^\\n\\r\\u2028\\u2029]"
+_IMAGE_REF = re.compile(rf"!\[{_JS_DOT}*?\]\({_JS_DOT}*?\)")
 # JS /\$\$([\s\S]*?)\$\$/g — [\s\S] crosses newlines.
 _DISPLAY_MATH = re.compile(r"\$\$([\s\S]*?)\$\$")
 # JS /\\begin\{aligned\}([\s\S]*?)\\end\{aligned\}/g

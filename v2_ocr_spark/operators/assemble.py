@@ -103,8 +103,12 @@ def export_documents(
         F.sort_array(F.collect_list("turn_idx")).alias("idxs"),
         n.alias("total_turns"),
     )
+    # INNER join: an export is always of a known conversation (the
+    # reference exports from the document detail page, so the dim row
+    # exists by construction) — and the DuckDB oracle joins inner, so a
+    # left join would desync the gate on orphan conv_ids
     named = pages.join(
-        conversations.select("conv_id", "source_name"), "conv_id", "left"
+        conversations.select("conv_id", "source_name"), "conv_id"
     )
     header = F.concat_ws(
         "\n",

@@ -215,7 +215,12 @@ def verify_jaccard(
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
 
     def shingle_set(text):
-        toks = (text or "").split(" ")
+        # NULL/empty text -> EMPTY set (not {''}): two empty docs must
+        # score 0, matching the DuckDB oracle where the NULL division
+        # filters the pair out
+        if not text:
+            return set()
+        toks = text.split(" ")
         m = max(len(toks) - (shingle_n - 1), 1)
         return {" ".join(toks[i : i + shingle_n]) for i in range(m)}
 
@@ -226,8 +231,9 @@ def verify_jaccard(
                 pdf["doc_a"], pdf["doc_b"], pdf["ta"], pdf["tb"]
             ):
                 sa, sb = shingle_set(ta), shingle_set(tb)
+                union = len(sa | sb)
                 rows.append(
-                    (doc_a, doc_b, len(sa & sb) / len(sa | sb))
+                    (doc_a, doc_b, len(sa & sb) / union if union else 0.0)
                 )
             yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
@@ -250,11 +256,20 @@ def minhash_lsh_pairs(
     cand.count()  # materialize candidates, then free the signatures
     sig.unpersist()
     verified = verify_jaccard(cand, docs, shingle_n)
-    return (
+    result = (
         verified.where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+        .persist()
     )
+    # materialize the (small) final pair set, then release every
+    # intermediate cache — repeated calls in one session must not pin
+    # extra copies of the corpus in executor storage. Caller may
+    # unpersist the returned result when done.
+    result.count()
+    cand.unpersist()
+    docs.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
@@ -280,7 +295,10 @@ def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash long): sign of per-bit +/-1 sums over token
     hashes — 64 conditional-sum aggregates, all JVM-side."""
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(

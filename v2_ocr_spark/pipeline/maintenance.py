@@ -101,12 +101,26 @@ def merge_upsert(
     spark: SparkSession,
     out_dir: str,
     updates: DataFrame,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> dict:
     """MERGE updates INTO extracted ON (conv_id, turn_idx) —
-    matched rows replaced, new rows inserted, everything idempotent."""
+    matched rows replaced, new rows inserted, everything idempotent.
+
+    num_partitions defaults to the table's pinned count; an explicit
+    value is VALIDATED against it (re-hashing under a different count
+    silently loses rows). Upserting into a partition that extraction
+    has not committed yet is refused — promoting it would publish a
+    commit containing only the upsert rows, and the partition's base
+    turns would never be extracted."""
     sink = MergeSink(out_dir)
+    num_partitions = sink.ensure_num_partitions(num_partitions)
     pids = _affected_pids(updates.select("conv_id").distinct(), num_partitions)
+    uncommitted = sorted(set(pids) - set(sink.committed()))
+    if uncommitted:
+        raise ValueError(
+            f"cannot upsert into unextracted partitions {uncommitted} of "
+            f"{out_dir}; run the extraction job first"
+        )
     current = sink.read(spark).where(
         partition_id("conv_id", num_partitions).isin(pids)
     )
@@ -135,9 +149,10 @@ def delete_conversations(
     spark: SparkSession,
     out_dir: str,
     conv_ids: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> dict:
     sink = MergeSink(out_dir)
+    num_partitions = sink.ensure_num_partitions(num_partitions)
     keys = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
     pids = _affected_pids(keys, num_partitions)
     survivors = sink.read(spark).where(
@@ -154,10 +169,19 @@ def retention_cleanup(
     out_dir: str,
     conversations: DataFrame,
     cutoff: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> dict:
     """Drop turns of conversations created before the cutoff timestamp
-    (S8; the conversations dim supplies created_at)."""
+    (S8; the conversations dim supplies created_at).
+
+    The cutoff is pinned to UTC unless it carries an explicit offset —
+    a bare literal would parse in the session timezone and delete the
+    wrong conversations from a non-UTC session (the repo-wide literal
+    convention, relational.range_filter)."""
+    import re as _re
+
+    if not _re.search(r"(?:[+-]\d{2}:?\d{2}|Z)$", cutoff):
+        cutoff = cutoff + "+00:00"
     old = conversations.where(
         F.col("created_at") < F.lit(cutoff).cast("timestamp")
     ).select("conv_id")
@@ -172,7 +196,7 @@ def backfill_column(
     out_dir: str,
     col_name: str,
     expr: F.Column,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> dict:
     """S11 — schema-evolution backfill (reference:
     dist/scripts/migrate-base64-to-storage.js:44-120 migrates a column
@@ -180,10 +204,14 @@ def backfill_column(
     committed partition via the same copy-on-write rewrite; on Iceberg
     this is ``ALTER TABLE ADD COLUMN`` + ``UPDATE``, metadata-cheap."""
     sink = MergeSink(out_dir)
+    sink.ensure_num_partitions(num_partitions)  # validate only
     pids = sorted(sink.committed())
+    # rows already carry their stored pid — keep it (conv_id is
+    # untouched, so re-hashing is both unnecessary and the class of bug
+    # this module guards against)
     rewritten = sink.read(spark).withColumn(col_name, expr)
     return _rewrite_partitions(
-        spark, sink, rewritten, pids, num_partitions, "backfill"
+        spark, sink, rewritten, pids, 0, "backfill", recompute_pid=False
     )
 
 

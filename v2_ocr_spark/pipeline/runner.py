@@ -195,6 +195,10 @@ class ExtractionJob:
         incremental-scan analog: only 1/P of the table recomputes per
         appended conversation, not the whole job."""
         run_id = uuid.uuid4().hex[:12]
+        # pin/validate the table's partition count before any staging —
+        # a second job pointed at the same sink with a different count
+        # must fail loudly, not scatter rows
+        self.sink.ensure_num_partitions(self.num_partitions)
         self.checkpoints.recover()  # Q2
         pids = self.pending_partitions()
         if incremental:

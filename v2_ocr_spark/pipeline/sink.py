@@ -97,6 +97,38 @@ class MergeSink:
         for d in (self.data_dir, self.commits_dir, self.staging_root):
             os.makedirs(d, exist_ok=True)
 
+    # -- table metadata ----------------------------------------------------
+
+    def ensure_num_partitions(self, num_partitions: int | None) -> int:
+        """Pin the table's logical partition count at first write and
+        VALIDATE every later caller against it — re-hashing conv_id
+        under a different count scatters rows into partitions that are
+        never promoted (silent data loss). Pass None to adopt the
+        stored value."""
+        path = os.path.join(self.out_dir, "_table.json")
+        try:
+            with open(path, encoding="utf-8") as f:
+                stored = int(json.load(f)["num_partitions"])
+        except FileNotFoundError:
+            stored = None
+        if stored is None:
+            if num_partitions is None:
+                raise ValueError(
+                    f"no table metadata at {path} and no num_partitions given"
+                )
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"num_partitions": int(num_partitions)}, f)
+            os.replace(tmp, path)
+            return int(num_partitions)
+        if num_partitions is not None and int(num_partitions) != stored:
+            raise ValueError(
+                f"table at {self.out_dir} was written with "
+                f"num_partitions={stored}; caller passed {num_partitions} — "
+                "re-hashing under a different count would lose rows"
+            )
+        return stored
+
     # -- read side ---------------------------------------------------------
 
     def committed(self) -> dict[int, dict]:
@@ -107,12 +139,45 @@ class MergeSink:
                     out[int(fn[:-5])] = json.load(f)
         return out
 
+    def recover_partials(self) -> list[int]:
+        """Heal promote()'s crash window: a committed pid whose data
+        dir is missing but whose pre-swap '.old' dir survives rolls
+        back to that prior snapshot (its commit marker still describes
+        it). Orphaned '.old' dirs next to a live data dir are cleanup
+        leftovers and are removed."""
+        import glob
+
+        restored = []
+        for pid in self.committed():
+            dst = os.path.join(self.data_dir, f"pid={pid}")
+            olds = sorted(glob.glob(dst + ".old.*"), key=os.path.getmtime)
+            if os.path.isdir(dst):
+                for o in olds:
+                    shutil.rmtree(o, ignore_errors=True)
+                continue
+            if olds:
+                os.replace(olds[-1], dst)
+                for o in olds[:-1]:
+                    shutil.rmtree(o, ignore_errors=True)
+                restored.append(pid)
+        return restored
+
     def committed_paths(self) -> list[str]:
-        return [
-            os.path.join(self.data_dir, f"pid={pid}")
-            for pid in sorted(self.committed())
-            if os.path.isdir(os.path.join(self.data_dir, f"pid={pid}"))
-        ]
+        self.recover_partials()
+        paths = []
+        for pid in sorted(self.committed()):
+            p = os.path.join(self.data_dir, f"pid={pid}")
+            if not os.path.isdir(p):
+                # a committed pid ALWAYS has a dir (promote publishes an
+                # empty one for row-less partitions) — missing means
+                # corruption; surfacing beats silently returning a
+                # partial table
+                raise RuntimeError(
+                    f"committed partition pid={pid} has no data dir under "
+                    f"{self.data_dir} and no recoverable .old snapshot"
+                )
+            paths.append(p)
+        return paths
 
     def read(self, spark):
         paths = self.committed_paths()
@@ -137,8 +202,6 @@ class MergeSink:
         if os.path.isdir(dst):
             os.replace(dst, old)
         os.replace(src, dst)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
 
         commit = {
             "snapshot_id": uuid.uuid4().hex,
@@ -151,6 +214,12 @@ class MergeSink:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(commit, f)
         os.replace(tmp, os.path.join(self.commits_dir, f"{pid}.json"))
+        # the pre-swap snapshot is deleted ONLY after the new marker is
+        # durable — a crash in any earlier window leaves either the new
+        # dir (stale marker, idempotent rerun heals) or the .old dir
+        # (recover_partials rolls back to the marker's snapshot)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
         return commit
 
     def metrics_rows(self) -> list[dict]:

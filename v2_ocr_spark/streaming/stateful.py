@@ -196,22 +196,32 @@ def stream_extract_upsert(
             _rewrite_partitions,
         )
         from v2_ocr_spark.pipeline.sink import MergeSink
+        from v2_ocr_spark.pipeline.runner import partition_id
 
-        extracted = extract_turns(batch_df)
-        try:
-            merge_upsert(
-                spark, out_dir, extracted, num_partitions=num_partitions
-            )
-        except FileNotFoundError:
-            # empty sink: first batch bootstraps the table through the
-            # same copy-on-write commit path (op='bootstrap')
-            pids = _affected_pids(
-                extracted.select("conv_id").distinct(), num_partitions
-            )
+        sink = MergeSink(out_dir)
+        np = sink.ensure_num_partitions(num_partitions)
+        extracted = extract_turns(batch_df).persist()
+        pids = _affected_pids(extracted.select("conv_id").distinct(), np)
+        done = set(sink.committed())
+        fresh = sorted(set(pids) - done)
+        if fresh:
+            # the stream IS the extraction for partitions it reaches
+            # first: bootstrap them through the copy-on-write commit
+            # path (merge_upsert's extraction-first policy is for BATCH
+            # maintenance callers, not this source)
             _rewrite_partitions(
-                spark, MergeSink(out_dir), extracted, pids,
-                num_partitions, "bootstrap",
+                spark, sink,
+                extracted.where(partition_id("conv_id", np).isin(fresh)),
+                fresh, np, "bootstrap",
             )
+        touched = sorted(set(pids) & done)
+        if touched:
+            merge_upsert(
+                spark, out_dir,
+                extracted.where(partition_id("conv_id", np).isin(touched)),
+                num_partitions=np,
+            )
+        extracted.unpersist()
 
     writer = stream.writeStream.foreachBatch(land).option(
         "checkpointLocation", checkpoint_dir
