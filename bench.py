@@ -84,11 +84,12 @@ def main() -> None:
         .agg(F.sum(F.length("document_text")))
         .collect(),
     )
-    timed(
-        "dedup_minhash_lsh",
-        lambda: dedup.minhash_lsh_pairs(spark, SF_DIR).count(),
-        runs=1,
-    )
+    def _lsh():
+        pairs = dedup.minhash_lsh_pairs(spark, SF_DIR)
+        pairs.count()
+        pairs.unpersist()  # returned result is persisted; release it
+
+    timed("dedup_minhash_lsh", _lsh, runs=1)
     timed(
         "ann_brute_force_topk",
         lambda: similarity.brute_force_topk(spark, SF_DIR).count(),

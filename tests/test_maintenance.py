@@ -209,6 +209,8 @@ def test_sink_recovers_interrupted_promote(spark, populated):
     n = job.read_output().count()
     dst = os.path.join(out, "data", "pid=1")
     os.replace(dst, dst + ".old.deadbeef")
+    # age the snapshot past the in-flight-promote grace window
+    os.utime(dst + ".old.deadbeef", (0, 0))
     assert not os.path.isdir(dst)
     assert job.read_output().count() == n  # recover_partials healed it
     assert os.path.isdir(dst)
@@ -266,3 +268,14 @@ def test_upsert_into_unextracted_partition_refused(spark, sf_small, tmp_path):
     )
     with _pytest.raises(ValueError, match="unextracted"):
         merge_upsert(spark, out, updates)
+
+
+def test_retention_accepts_date_only_cutoff(spark, populated, sf_small):
+    from v2_ocr_spark.pipeline.maintenance import retention_cleanup
+
+    out, job = populated
+    conv = spark.read.parquet(f"{sf_small}/conversations.parquet")
+    # date-only form must pin to UTC midnight, not crash the ANSI cast
+    res = retention_cleanup(spark, out, conv, "2025-01-01", num_partitions=NP)
+    # nothing is older than the epoch-day start in the fixture
+    assert res["rewritten"] == []

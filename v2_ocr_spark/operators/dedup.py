@@ -215,10 +215,11 @@ def verify_jaccard(
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
 
     def shingle_set(text):
-        # NULL/empty text -> EMPTY set (not {''}): two empty docs must
-        # score 0, matching the DuckDB oracle where the NULL division
-        # filters the pair out
-        if not text:
+        # NULL -> EMPTY set: the pair scores 0 and is excluded, exactly
+        # like the oracle's NULL division. EMPTY STRING stays {''} —
+        # DuckDB's string_split('') is [''] too, so two ''-docs score
+        # 1.0 on BOTH sides (None and '' are different contracts here).
+        if text is None:
             return set()
         toks = text.split(" ")
         m = max(len(toks) - (shingle_n - 1), 1)
@@ -264,8 +265,10 @@ def minhash_lsh_pairs(
     )
     # materialize the (small) final pair set, then release every
     # intermediate cache — repeated calls in one session must not pin
-    # extra copies of the corpus in executor storage. Caller may
-    # unpersist the returned result when done.
+    # extra copies of the corpus in executor storage. CALLER CONTRACT:
+    # unpersist the returned result when done with it (bench and
+    # duplicate_clusters do); the leak is otherwise one small pair-set
+    # per call, not a corpus copy.
     result.count()
     cand.unpersist()
     docs.unpersist()
@@ -294,11 +297,12 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
 def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash long): sign of per-bit +/-1 sums over token
     hashes — 64 conditional-sum aggregates, all JVM-side."""
+    # NULL text stays NULL through split, so explode DROPS the doc —
+    # intentionally: a doc with missing text is not a near-duplicate of
+    # other missing-text docs (coalescing to '' would make every NULL
+    # pair hamming-0 "duplicates"), matching verify_jaccard's None->0
     toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-        ).alias("tok"),
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
@@ -399,9 +403,10 @@ def duplicate_clusters(
     (cheap, partial-agged). DuckDB oracle: recursive CTE reachability
     over the identical exact pair set.
     """
-    pairs = minhash_lsh_pairs(
+    pairs_df = minhash_lsh_pairs(
         spark, sf_dir, threshold=threshold, shingle_n=shingle_n
-    ).select("doc_a", "doc_b")
+    )
+    pairs = pairs_df.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -453,4 +458,5 @@ def duplicate_clusters(
             break
 
     edges.unpersist()
+    pairs_df.unpersist()  # minhash_lsh_pairs returns a persisted result
     return labels.select("doc_id", "cluster_id").orderBy("doc_id")

@@ -180,7 +180,11 @@ def retention_cleanup(
     convention, relational.range_filter)."""
     import re as _re
 
-    if not _re.search(r"(?:[+-]\d{2}:?\d{2}|Z)$", cutoff):
+    if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", cutoff):
+        # a bare date needs a time component before the offset — Spark
+        # rejects '2025-01-01+00:00' under ANSI casting
+        cutoff = cutoff + " 00:00:00+00:00"
+    elif not _re.search(r"(?:[+-]\d{2}:?\d{2}|Z)$", cutoff):
         cutoff = cutoff + "+00:00"
     old = conversations.where(
         F.col("created_at") < F.lit(cutoff).cast("timestamp")

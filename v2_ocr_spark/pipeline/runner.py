@@ -199,6 +199,9 @@ class ExtractionJob:
         # a second job pointed at the same sink with a different count
         # must fail loudly, not scatter rows
         self.sink.ensure_num_partitions(self.num_partitions)
+        # the job owns the sink exclusively: heal any interrupted
+        # promote immediately (no grace needed)
+        self.sink.recover_partials(grace_seconds=0)
         self.checkpoints.recover()  # Q2
         pids = self.pending_partitions()
         if incremental:

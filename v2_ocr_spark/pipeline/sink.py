@@ -139,18 +139,29 @@ class MergeSink:
                     out[int(fn[:-5])] = json.load(f)
         return out
 
-    def recover_partials(self) -> list[int]:
+    def recover_partials(self, grace_seconds: float = 60.0) -> list[int]:
         """Heal promote()'s crash window: a committed pid whose data
         dir is missing but whose pre-swap '.old' dir survives rolls
         back to that prior snapshot (its commit marker still describes
         it). Orphaned '.old' dirs next to a live data dir are cleanup
-        leftovers and are removed."""
+        leftovers and are removed.
+
+        '.old' dirs YOUNGER than grace_seconds are left alone — they
+        most likely belong to an in-flight promote() in another
+        process, and restoring (or deleting) them mid-swap would make
+        the promoter's second rename fail. Pass grace_seconds=0 only
+        from a context that owns the sink exclusively (job start)."""
         import glob
 
         restored = []
+        now = time.time()
         for pid in self.committed():
             dst = os.path.join(self.data_dir, f"pid={pid}")
             olds = sorted(glob.glob(dst + ".old.*"), key=os.path.getmtime)
+            olds = [
+                o for o in olds
+                if now - os.path.getmtime(o) >= grace_seconds
+            ]
             if os.path.isdir(dst):
                 for o in olds:
                     shutil.rmtree(o, ignore_errors=True)

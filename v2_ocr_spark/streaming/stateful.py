@@ -200,7 +200,10 @@ def stream_extract_upsert(
 
         sink = MergeSink(out_dir)
         np = sink.ensure_num_partitions(num_partitions)
-        extracted = extract_turns(batch_df).persist()
+        # with_metrics matches the BATCH staging schema — a narrow
+        # bootstrap partition would otherwise become the table's first
+        # parquet footer and silently drop metrics columns on read
+        extracted = extract_turns(batch_df, with_metrics=True).persist()
         pids = _affected_pids(extracted.select("conv_id").distinct(), np)
         done = set(sink.committed())
         fresh = sorted(set(pids) - done)
