@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": lambda spark, sf_dir: textstats.redact_pii(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
+        "token_counts_turns": lambda spark, sf_dir: textstats.token_counts_for(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        ),
         "repetition_stats": textstats.repetition_stats,
         "hash_sample": textstats.hash_sample,
         "token_counts": textstats.token_counts,
@@ -615,6 +618,12 @@ def oracle_sql() -> dict[str, str]:
         "normalize_nfc": (
             f"SELECT conv_id, turn_idx, nfc_normalize(coalesce(text, '')) "
             f"AS nfc_text FROM {_T}"
+        ),
+        "token_counts_turns": (
+            "SELECT conv_id, turn_idx, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens, "
+            r"CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]+')) AS INT) "
+            f"AS bpe_tokens FROM {_T}"
         ),
         "repetition_stats": (
             "SELECT doc_id, "

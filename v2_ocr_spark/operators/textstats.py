@@ -122,9 +122,14 @@ def quality_score_for(d: DataFrame, keys: list[str]) -> DataFrame:
 
 def token_counts(spark, sf_dir) -> DataFrame:
     """Whitespace and BPE-ish token counts per document."""
-    d = _docs(spark, sf_dir)
+    return token_counts_for(_docs(spark, sf_dir), ["doc_id"])
+
+
+def token_counts_for(d: DataFrame, keys: list[str]) -> DataFrame:
+    """Token counts for any (keys..., text) table — the budget signal
+    every training-data pipeline aggregates before packing."""
     return d.select(
-        "doc_id",
+        *keys,
         F.regexp_count(F.col("text"), F.lit(WS_TOKEN)).alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("bpe_tokens"),
     )
