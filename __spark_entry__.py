@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": lambda spark, sf_dir: textstats.redact_pii(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
+        "fingerprints_turns": lambda spark, sf_dir: textstats.fingerprints_for(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        ),
         "token_counts_turns": lambda spark, sf_dir: textstats.token_counts_for(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
@@ -618,6 +621,11 @@ def oracle_sql() -> dict[str, str]:
         "normalize_nfc": (
             f"SELECT conv_id, turn_idx, nfc_normalize(coalesce(text, '')) "
             f"AS nfc_text FROM {_T}"
+        ),
+        "fingerprints_turns": (
+            "SELECT conv_id, turn_idx, md5(text) AS fp_exact, "
+            r"md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_norm "
+            f"FROM {_T}"
         ),
         "token_counts_turns": (
             "SELECT conv_id, turn_idx, "

@@ -138,10 +138,13 @@ def token_counts_for(d: DataFrame, keys: list[str]) -> DataFrame:
 def fingerprints(spark, sf_dir) -> DataFrame:
     """Deterministic document fingerprints: md5 of the text and of the
     whitespace-normalized text (the exact-dedup / lineage key)."""
-    d = _docs(spark, sf_dir)
+    return fingerprints_for(_docs(spark, sf_dir), ["doc_id"])
+
+
+def fingerprints_for(d: DataFrame, keys: list[str]) -> DataFrame:
     norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     return d.select(
-        "doc_id",
+        *keys,
         F.md5(F.col("text")).alias("fp_exact"),
         F.md5(norm).alias("fp_norm"),
     )
