@@ -168,3 +168,22 @@ def test_e13_rate_limit_countdown():
     assert rate_limit_countdown(60, 60_000) == 0
     assert rate_limit_countdown(60, 99_000) == 0
     assert rate_limit_countdown(1.5, 400) == 2  # ceil((1500-400)/1000)
+
+
+def test_rows_only_queries_are_documented():
+    """CLAUDE.md invariant, enforced mechanically: every queries()
+    entry lacking an oracle_sql() twin must appear in the rows-only
+    exception inventory comment inside __spark_entry__.py."""
+    import inspect
+
+    import __spark_entry__ as entry_mod
+
+    rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    src = inspect.getsource(entry_mod)
+    inventory = src[src.index("rows-only exceptions"):]
+    inventory = inventory[:inventory.index("return sql")]
+    for name in sorted(rows_only):
+        assert name in inventory, (
+            f"{name} has no oracle and is missing from the documented "
+            "rows-only exception list"
+        )
