@@ -258,6 +258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": lambda spark, sf_dir: textstats.redact_pii(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
+        "sample_conversations": lambda spark, sf_dir: (
+            textstats.sample_conversations(
+                _transcripts(spark, sf_dir), 0.1
+            ).select("conv_id", "turn_idx")
+        ),
         "fingerprints_turns": lambda spark, sf_dir: textstats.fingerprints_for(
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
@@ -622,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, nfc_normalize(coalesce(text, '')) "
             f"AS nfc_text FROM {_T}"
         ),
+        "sample_conversations": _sample_conversations_sql(),
         "fingerprints_turns": (
             "SELECT conv_id, turn_idx, md5(text) AS fp_exact, "
             r"md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_norm "
@@ -714,6 +720,16 @@ _STOP_SQL = {
     )
     for lang in ("en", "de", "fr", "es")
 }
+
+def _sample_conversations_sql(rate: float = 0.1) -> str:
+    from v2_ocr_spark.operators.textstats import hash_sample_cutoff
+
+    return (
+        f"SELECT conv_id, turn_idx FROM {_T} "
+        "WHERE ('0x' || substr(md5(conv_id), 1, 4))::UBIGINT "
+        f"< {hash_sample_cutoff(rate)}"
+    )
+
 
 def _hash_sample_sql(rate: float = 0.1) -> str:
     from v2_ocr_spark.operators.textstats import hash_sample_cutoff

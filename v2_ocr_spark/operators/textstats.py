@@ -283,3 +283,15 @@ def hash_sample(spark, sf_dir, rate: float = 0.1) -> DataFrame:
     # pushdown. The double md5 per KEPT row is accepted: it is trivial
     # next to the scan and only applies to the sampled fraction.
     return d.where(h < cut).select("doc_id", h.alias("bucket"))
+
+
+def sample_conversations(df: DataFrame, rate: float = 0.1) -> DataFrame:
+    """Deterministic CONVERSATION-level sampling of a transcripts
+    table: the md5 bucket of conv_id keeps or drops whole
+    conversations, never splitting one — the unit that matters when
+    sampling dialogue data (turn-level sampling destroys context).
+    Same bucket math as hash_sample, so DuckDB reproduces it."""
+    h = F.conv(
+        F.substring(F.md5(F.col("conv_id")), 1, 4), 16, 10
+    ).cast("int")
+    return df.where(h < hash_sample_cutoff(rate))
