@@ -721,13 +721,18 @@ _STOP_SQL = {
     for lang in ("en", "de", "fr", "es")
 }
 
+def _md5_bucket_sql(col: str) -> str:
+    """DuckDB twin of textstats._md5_bucket — one hex idiom for every
+    deterministic-sampling oracle."""
+    return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::UBIGINT"
+
+
 def _sample_conversations_sql(rate: float = 0.1) -> str:
     from v2_ocr_spark.operators.textstats import hash_sample_cutoff
 
     return (
         f"SELECT conv_id, turn_idx FROM {_T} "
-        "WHERE ('0x' || substr(md5(conv_id), 1, 4))::UBIGINT "
-        f"< {hash_sample_cutoff(rate)}"
+        f"WHERE {_md5_bucket_sql('conv_id')} < {hash_sample_cutoff(rate)}"
     )
 
 
@@ -735,11 +740,9 @@ def _hash_sample_sql(rate: float = 0.1) -> str:
     from v2_ocr_spark.operators.textstats import hash_sample_cutoff
 
     return (
-        "SELECT doc_id, CAST(('0x' || "
-        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT AS INT) "
+        f"SELECT doc_id, CAST({_md5_bucket_sql('doc_id')} AS INT) "
         "AS bucket FROM documents "
-        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
-        f"::UBIGINT < {hash_sample_cutoff(rate)}"
+        f"WHERE {_md5_bucket_sql('doc_id')} < {hash_sample_cutoff(rate)}"
     )
 
 

@@ -182,8 +182,15 @@ def test_rows_only_queries_are_documented():
     src = inspect.getsource(entry_mod)
     inventory = src[src.index("rows-only exceptions"):]
     inventory = inventory[:inventory.index("return sql")]
-    for name in sorted(rows_only):
-        assert name in inventory, (
-            f"{name} has no oracle and is missing from the documented "
-            "rows-only exception list"
-        )
+    import re as _re
+
+    documented = {
+        w for w in _re.findall(r"[a-z_][a-z0-9_]+", inventory)
+        if w in entry_mod.queries()
+    }
+    # exact equality both ways: undocumented entries AND stale
+    # inventory rows (a name that later gained an oracle) both fail
+    assert documented == rows_only, (
+        f"undocumented: {sorted(rows_only - documented)}; "
+        f"stale: {sorted(documented - rows_only)}"
+    )

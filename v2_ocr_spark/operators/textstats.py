@@ -267,15 +267,22 @@ def hash_sample_cutoff(rate: float) -> int:
     return int(65536 * rate)
 
 
+def _md5_bucket(col: str) -> F.Column:
+    """The shared md5-prefix bucket (0..65535) for deterministic
+    sampling — ONE definition so hash_sample and sample_conversations
+    can never drift apart."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+
+
 def hash_sample(spark, sf_dir, rate: float = 0.1) -> DataFrame:
     """Deterministic hash-bucket sampling: keep docs whose md5(doc_id)
     prefix falls under rate — reproducible across runs, engines and
     cluster sizes (unlike RNG-based df.sample), and stable under
     re-partitioning, which is what makes sampled pipelines auditable
     at 10^12 rows. DuckDB computes the identical md5 bucket."""
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
+    h = _md5_bucket("doc_id")
     cut = hash_sample_cutoff(rate)
     d = _docs(spark, sf_dir)
     # the bucket expression appears in both the Filter and the Project;
@@ -291,7 +298,4 @@ def sample_conversations(df: DataFrame, rate: float = 0.1) -> DataFrame:
     conversations, never splitting one — the unit that matters when
     sampling dialogue data (turn-level sampling destroys context).
     Same bucket math as hash_sample, so DuckDB reproduces it."""
-    h = F.conv(
-        F.substring(F.md5(F.col("conv_id")), 1, 4), 16, 10
-    ).cast("int")
-    return df.where(h < hash_sample_cutoff(rate))
+    return df.where(_md5_bucket("conv_id") < hash_sample_cutoff(rate))
