@@ -188,3 +188,29 @@ def test_stream_extract_upsert_foreachbatch(spark, sf_small, tmp_path):
         final.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
     )
     assert dups == 0
+
+
+def test_stream_dedup_turns(spark, sf_small, tmp_path):
+    """Re-delivered turns (duplicate files from an at-least-once
+    upstream) emit exactly once through the watermarked dedup."""
+    import os
+
+    from v2_ocr_spark.streaming.stateful import stream_dedup_turns
+
+    src = str(tmp_path / "dd_in")
+    os.makedirs(src)
+    shutil.copy(f"{sf_small}/transcripts.parquet", os.path.join(src, "a.parquet"))
+    shutil.copy(f"{sf_small}/transcripts.parquet", os.path.join(src, "b.parquet"))
+    n_unique = spark.read.parquet(f"{sf_small}/transcripts.parquet").count()
+
+    q = stream_dedup_turns(
+        spark, src, str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "dd_out"))
+    assert out.count() == n_unique
+    dups = (
+        out.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    assert dups == 0

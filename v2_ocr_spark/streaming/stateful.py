@@ -232,3 +232,38 @@ def stream_extract_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_turns(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup on the turn key: dropDuplicates under an
+    event-time watermark, so re-delivered turns (at-least-once
+    upstreams, replayed producers) emit once and the key state evicts
+    after the watermark instead of growing with the stream — the
+    fourth Structured Streaming idiom here (append sink, arbitrary
+    state, foreachBatch MERGE, keyed dedup)."""
+    from v2_ocr_spark.streaming.stream_extract import TRANSCRIPT_DDL
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
