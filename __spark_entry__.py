@@ -681,16 +681,32 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+# Oracles for the exact-Jaccard contract use the same inverted-index
+# formulation as the operator (explode distinct shingles, equi-join on
+# the shingle, co-occurrence count = |A ∩ B|): provably identical
+# output to the all-pairs definition for threshold > 0, and ~15x
+# faster in DuckDB than per-pair list_intersect — gate latency is
+# oracle latency too. NULL text contributes no shingles (the all-pairs
+# form excluded NULL docs via NULL-propagating division).
+_SHINGLE_CTES = (
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle "
+    "FROM documents WHERE text IS NOT NULL), "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT doc_a, doc_b, "
+    "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
+    "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
+    "JOIN cnt cb ON cb.doc_id = doc_b "
+    "WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5)"
+)
+
 _CLUSTERS_SQL = (
     "WITH RECURSIVE "
-    "sh AS (SELECT doc_id, list_distinct(list_transform("
-    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
-    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s "
-    "FROM documents), "
-    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
-    "len(list_distinct(list_concat(a.s, b.s))) >= 0.5), "
+    + _SHINGLE_CTES + ", "
     "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
     "UNION ALL SELECT doc_b, doc_a FROM pairs), "
     "reach AS (SELECT src AS doc_id, src AS reach FROM edges "
@@ -700,17 +716,8 @@ _CLUSTERS_SQL = (
 
 
 _JACCARD_SQL = (
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
-    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
-    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s "
-    "FROM documents) "
-    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
-    "len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
-    "len(list_distinct(list_concat(a.s, b.s))) >= 0.5 "
-    "ORDER BY doc_a, doc_b"
+    "WITH " + _SHINGLE_CTES + " "
+    "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 )
 
 _STOP_SQL = {

