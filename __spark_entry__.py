@@ -577,9 +577,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "value_histogram": (
+            # hi = lo guard mirrors value_histogram_for: an all-equal
+            # value column must bin to 0, not divide by zero
             "WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) "
-            "SELECT event_type, CAST(least(19, floor((value - lo) / "
-            "((hi - lo) / 20))) AS INT) AS bin, count(*) AS n "
+            "SELECT event_type, CAST(CASE WHEN hi = lo THEN 0 ELSE "
+            "least(19, floor((value - lo) / ((hi - lo) / 20))) END AS INT) "
+            "AS bin, count(*) AS n "
             "FROM events, b GROUP BY 1, 2"
         ),
         "top_events_per_user": (

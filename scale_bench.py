@@ -86,15 +86,25 @@ def main() -> None:
             (high["turns_per_sec"] / low["turns_per_sec"]) / (HIGH / LOW), 4
         )
         samples.append((eff, low, high))
-    eff, low, high = max(samples, key=lambda s: s[0])
+    # the pass/fail verdict gates on the MEDIAN paired sample — a
+    # single lucky interference window must not decide it (the best
+    # pass is still reported for context)
+    import statistics
+
+    effs = sorted(s[0] for s in samples)
+    median_eff = round(statistics.median(effs), 4)
+    eff, low, high = min(
+        samples, key=lambda s: abs(s[0] - median_eff)
+    )
     result = {
         "metric": f"scaling_efficiency_{LOW}_to_{HIGH}_cores",
         "low": low,
         "high": high,
-        "efficiency": eff,
+        "efficiency": median_eff,
+        "best_efficiency": max(effs),
         "all_passes": [s[0] for s in samples],
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": median_eff >= 0.8,
     }
     print(json.dumps(result))
 

@@ -279,3 +279,28 @@ def test_retention_accepts_date_only_cutoff(spark, populated, sf_small):
     res = retention_cleanup(spark, out, conv, "2025-01-01", num_partitions=NP)
     # nothing is older than the epoch-day start in the fixture
     assert res["rewritten"] == []
+
+
+def test_merge_upsert_null_overwrites_matched_column(spark, populated):
+    """MERGE semantics: a matched source row replaces its update
+    columns UNCONDITIONALLY — an update carrying NULL (error cleared
+    after successful re-extraction) must not resurrect the stale
+    value via coalesce."""
+    out, job = populated
+    first = spark.createDataFrame(
+        [("conv00000003", 1, "partial", "boom: transient")],
+        "conv_id string, turn_idx int, extracted_text string, error string",
+    )
+    merge_upsert(spark, out, first, num_partitions=NP)
+    retry = spark.createDataFrame(
+        [("conv00000003", 1, "clean text", None)],
+        "conv_id string, turn_idx int, extracted_text string, error string",
+    )
+    merge_upsert(spark, out, retry, num_partitions=NP)
+    row = (
+        job.read_output()
+        .where((F.col("conv_id") == "conv00000003") & (F.col("turn_idx") == 1))
+        .collect()[0]
+    )
+    assert row.extracted_text == "clean text"
+    assert row.error is None  # NULL replaced the stale error string

@@ -573,19 +573,33 @@ def value_histogram(spark, sf_dir, n_bins: int = 20):
     global min/max (one cheap pre-agg, broadcastable), then one
     codegen'd groupBy. At 10^12 rows both aggregations are map-side
     partial; no sort, no window."""
-    e = _e(spark, sf_dir).select("event_type", "value")
+    return value_histogram_for(
+        _e(spark, sf_dir).select("event_type", "value"), n_bins
+    )
+
+
+def value_histogram_for(e, n_bins: int = 20):
+    """Histogram over any (event_type, value) table. When every value
+    is identical the bin width is 0 and the division would produce
+    NaN (and the oracle's CAST(NaN AS INT) errors) — that degenerate
+    input collapses to bin 0, guarded identically in the oracle SQL."""
     bounds = e.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
     binned = e.crossJoin(F.broadcast(bounds)).select(
         "event_type",
-        F.least(
-            F.lit(n_bins - 1),
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / n_bins)
-            ),
-        ).cast("int").alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
     )
     return binned.groupBy("event_type", "bin").agg(
         F.count("*").alias("n")

@@ -210,9 +210,11 @@ def normalize_nfc(df: DataFrame, keys: list[str]) -> DataFrame:
             out["nfc_text"] = pdf["text"].fillna("").str.normalize("NFC")
             yield out[cols]
 
-    key_ddl = ", ".join(
-        f"{k} {'int' if k == 'turn_idx' else 'string'}" for k in keys
-    )
+    # key types come from the INPUT schema — hardcoding a name-to-type
+    # rule would silently mistype e.g. a bigint doc_id as string at the
+    # Arrow boundary
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_ddl = ", ".join(f"{k} {by_name[k]}" for k in keys)
     return df.select(*keys, "text").mapInPandas(
         run, schema=f"{key_ddl}, nfc_text string"
     )

@@ -125,15 +125,25 @@ def merge_upsert(
         partition_id("conv_id", num_partitions).isin(pids)
     )
     upd_cols = set(updates.columns) - {"conv_id", "turn_idx"}
+    # Row presence, not column NULL, decides whether an update applies:
+    # a matched source row replaces its columns UNCONDITIONALLY — a
+    # NULL in the update (e.g. error cleared after a successful
+    # re-extraction) must overwrite the stale non-NULL target value,
+    # exactly like Iceberg MERGE's WHEN MATCHED UPDATE SET t.c = s.c.
+    # (coalesce(s.c, t.c) would silently keep the old value.) The flag
+    # is non-NULL only on source rows, so F.when() falls through to the
+    # target value for unmatched targets.
+    src = updates.withColumn("_src_present", F.lit(True))
     merged = (
         current.alias("t")
-        .join(updates.alias("s"), ["conv_id", "turn_idx"], "full_outer")
+        .join(src.alias("s"), ["conv_id", "turn_idx"], "full_outer")
         .select(
             "conv_id",
             "turn_idx",
             *[
                 (
-                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                    F.when(F.col("s._src_present"), F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
                     if c in upd_cols
                     else F.col(f"t.{c}")
                 ).alias(c)

@@ -242,12 +242,17 @@ def stream_dedup_turns(
     watermark: str = "1 hour",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Streaming exact dedup on the turn key: dropDuplicates under an
-    event-time watermark, so re-delivered turns (at-least-once
-    upstreams, replayed producers) emit once and the key state evicts
-    after the watermark instead of growing with the stream — the
-    fourth Structured Streaming idiom here (append sink, arbitrary
-    state, foreachBatch MERGE, keyed dedup)."""
+    """Streaming exact dedup on the turn key: dropDuplicatesWithinWatermark
+    under an event-time watermark, so re-delivered turns (at-least-once
+    upstreams, replayed producers) emit once and the key state EVICTS
+    once the watermark passes the first sighting — bounded state, which
+    plain dropDuplicates([keys]) does NOT give (without the event-time
+    column in the key list its state grows with every distinct key
+    forever). The traded contract: a replay arriving LATER than the
+    watermark delay after the original is emitted again — at-least-once
+    upstreams replay within their ack window, so size `watermark` to
+    bound that window. Fourth Structured Streaming idiom here (append
+    sink, arbitrary state, foreachBatch MERGE, keyed dedup)."""
     from v2_ocr_spark.streaming.stream_extract import TRANSCRIPT_DDL
 
     stream = (
@@ -255,7 +260,7 @@ def stream_dedup_turns(
         .option("recursiveFileLookup", "true")
         .parquet(input_dir)
     )
-    deduped = stream.withWatermark("ts", watermark).dropDuplicates(
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
     writer = (
