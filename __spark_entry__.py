@@ -198,11 +198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "results_scan": _rel(relational.results_scan),
         "top_queue": _rel(relational.top_queue),
         "multi_key_sort": _rel(relational.multi_key_sort),
+        "name_sort_collated": _rel(relational.name_sort_collated),
         "size_sort": _rel(relational.size_sort),
         "compound_filter": _rel(relational.compound_filter),
         "fulltext_search": _rel(relational.fulltext_search),
         "viewable": _rel(relational.viewable),
         "status_invariant": _rel(relational.status_invariant),
+        "status_repair": _rel(relational.status_repair),
         "range_filter": _rel(relational.range_filter),
         "status_counts": _rel(relational.status_counts),
         "dashboard_stats": _rel(relational.dashboard_stats),
@@ -401,7 +403,13 @@ def oracle_sql() -> dict[str, str]:
         "multi_key_sort": (
             "SELECT conv_id, source_name, "
             "CAST(epoch(coalesce(processing_started_at, created_at)) AS BIGINT) AS sort_epoch "
-            f"FROM {_C} ORDER BY sort_epoch DESC, source_name, conv_id LIMIT 20"
+            f"FROM {_C} ORDER BY sort_epoch DESC, "
+            "source_name COLLATE en_us, conv_id LIMIT 20"
+        ),
+        "name_sort_collated": (
+            "SELECT conv_id, source_name, "
+            "CAST(row_number() OVER (ORDER BY source_name COLLATE en_us, "
+            f"conv_id) AS INT) AS rk FROM {_C}"
         ),
         "size_sort": (
             f"SELECT conv_id, size_bytes FROM {_C} "
@@ -422,6 +430,15 @@ def oracle_sql() -> dict[str, str]:
         "status_invariant": (
             "SELECT count(*) FILTER (WHERE status = 'queued' AND error IS NOT NULL) "
             f"AS violations FROM {_C}"
+        ),
+        "status_repair": (
+            "SELECT conv_id, status, "
+            "CASE WHEN status = 'queued' AND error IS NOT NULL THEN NULL "
+            "ELSE error END AS error_after, "
+            "(status = 'queued' AND error IS NOT NULL) AS was_repaired, "
+            "CASE WHEN status = 'queued' AND error IS NOT NULL THEN "
+            "CAST(epoch(TIMESTAMPTZ '2025-01-01 00:00:00+00') AS BIGINT) "
+            f"END AS repaired_epoch FROM {_C}"
         ),
         "range_filter": (
             "SELECT conv_id, CAST(epoch(created_at) AS BIGINT) AS created_epoch "

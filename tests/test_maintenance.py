@@ -304,3 +304,70 @@ def test_merge_upsert_null_overwrites_matched_column(spark, populated):
     )
     assert row.extracted_text == "clean text"
     assert row.error is None  # NULL replaced the stale error string
+
+
+def test_delete_keys_plan_is_anti_join_not_in_literal(spark, populated):
+    """The delete path must scale with DataFrame keys: 10^5 keys plan
+    as a left-anti join, never a collected In-literal (driver OOM +
+    plan blowup at retention scale)."""
+    from v2_ocr_spark.pipeline.maintenance import delete_conversation_keys
+
+    out, job = populated
+    n0 = job.read_output().count()
+    victim = "conv00000005"
+    n_victim = job.read_output().where(F.col("conv_id") == victim).count()
+    assert n_victim > 0
+    keys = (
+        spark.range(100_000)
+        .select(F.concat(F.lit("ghost"), F.col("id")).alias("conv_id"))
+        .unionByName(spark.createDataFrame([(victim,)], "conv_id string"))
+    )
+    current = job.read_output()
+    plan = current.join(
+        keys.select("conv_id").distinct(), "conv_id", "left_anti"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert " IN (" not in plan  # no literal id list anywhere
+
+    res = delete_conversation_keys(spark, out, keys, num_partitions=NP)
+    assert res["rewritten"]
+    after = job.read_output()
+    assert after.where(F.col("conv_id") == victim).count() == 0
+    assert after.count() == n0 - n_victim
+
+
+def test_repair_status_violations_idempotent(spark, sf_small, tmp_path):
+    """P9 self-heal write-back: violating rows get error cleared in
+    place; a second run is a no-op (reference clears doc.error and
+    re-saves, document-status-validation.ts:39-46)."""
+    from v2_ocr_spark.pipeline.maintenance import repair_status_violations
+
+    conv_dir = str(tmp_path / "conversations.parquet")
+    base = spark.read.parquet(f"{sf_small}/conversations.parquet")
+    # inject violations: flip 3 rows to queued with an error string
+    victims = [r.conv_id for r in base.limit(3).collect()]
+    broken = base.withColumns(
+        {
+            "status": F.when(
+                F.col("conv_id").isin(victims), F.lit("queued")
+            ).otherwise(F.col("status")),
+            "error": F.when(
+                F.col("conv_id").isin(victims), F.lit("stale boom")
+            ).otherwise(F.col("error")),
+        }
+    )
+    broken.write.mode("overwrite").parquet(conv_dir)
+
+    res1 = repair_status_violations(spark, conv_dir)
+    assert res1 == {"repaired": 3, "rewritten": True}
+    healed = spark.read.parquet(conv_dir)
+    assert (
+        healed.where(
+            (F.col("status") == "queued") & F.col("error").isNotNull()
+        ).count()
+        == 0
+    )
+    # non-violating rows untouched
+    assert healed.count() == base.count()
+    res2 = repair_status_violations(spark, conv_dir)
+    assert res2 == {"repaired": 0, "rewritten": False}

@@ -70,7 +70,10 @@ def top_queue(spark, d):
 
 def multi_key_sort(spark, d):
     """O2: sort by coalesce(processing_started_at, created_at) desc then
-    name (app/documents/page.tsx:90-107), deterministic tiebreak."""
+    name (app/documents/page.tsx:90-107), deterministic tiebreak. The
+    name key compares with ICU root collation (Spark 4 `collate(...,
+    'UNICODE')`) to match the reference's localeCompare — UTF-8 binary
+    order diverges from UCA on any non-ASCII name."""
     return (
         _c(spark, d)
         .select(
@@ -80,8 +83,30 @@ def multi_key_sort(spark, d):
                 _epoch("processing_started_at"), _epoch("created_at")
             ).alias("sort_epoch"),
         )
-        .orderBy(F.desc("sort_epoch"), "source_name", "conv_id")
+        .orderBy(
+            F.desc("sort_epoch"),
+            F.collate(F.col("source_name"), "UNICODE"),
+            "conv_id",
+        )
         .limit(20)
+    )
+
+
+def name_sort_collated(spark, d):
+    """O2 collation surface, made hash-checkable: localeCompare name
+    order (app/documents/page.tsx:97-99) materialized as an explicit
+    rank — an ORDER BY alone is invisible to an order-insensitive
+    compare. Spark ICU root ('UNICODE') vs DuckDB's icu en_us produce
+    the identical UCA order for these names (root-equivalent tailoring).
+    Dim-table op: the unpartitioned window runs one task over a
+    broadcast-scale table, not the fact table."""
+    w = Window.orderBy(
+        F.collate(F.col("source_name"), "UNICODE"), "conv_id"
+    )
+    return _c(spark, d).select(
+        "conv_id",
+        "source_name",
+        F.row_number().over(w).alias("rk"),
     )
 
 
@@ -144,6 +169,39 @@ def status_invariant(spark, d):
                 (F.col("status") == "queued") & F.col("error").isNotNull(), 1
             )
         ).alias("violations")
+    )
+
+
+def repair_status_invariant(conversations, repaired_at: str):
+    """P9 write-back half: the reference both DETECTS and SELF-HEALS the
+    queued+error violation (document-status-validation.ts:39-46 clears
+    doc.error and re-saves). Returns the full table with violating rows
+    repaired — error cleared, repair timestamp stamped — and a
+    was_repaired audit flag; untouched rows pass through byte-identical,
+    so re-applying is a no-op (idempotent MERGE semantics)."""
+    violating = (F.col("status") == "queued") & F.col("error").isNotNull()
+    stamp = F.lit(repaired_at).cast("timestamp")
+    return conversations.withColumns(
+        {
+            "error": F.when(violating, F.lit(None).cast("string")).otherwise(
+                F.col("error")
+            ),
+            "was_repaired": violating,
+            "repaired_at": F.when(violating, stamp),
+        }
+    )
+
+
+def status_repair(spark, d, repaired_at: str = "2025-01-01 00:00:00+00:00"):
+    """Oracled view of repair_status_invariant over the conversations
+    dim: per-conversation post-repair error + audit columns."""
+    rep = repair_status_invariant(_c(spark, d), repaired_at)
+    return rep.select(
+        "conv_id",
+        "status",
+        F.col("error").alias("error_after"),
+        "was_repaired",
+        _epoch("repaired_at").alias("repaired_epoch"),
     )
 
 

@@ -161,17 +161,42 @@ def delete_conversations(
     conv_ids: list[str],
     num_partitions: int | None = None,
 ) -> dict:
+    """Cascade-delete by explicit id list (the point-delete API)."""
+    keys = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    return delete_conversation_keys(spark, out_dir, keys, num_partitions)
+
+
+def delete_conversation_keys(
+    spark: SparkSession,
+    out_dir: str,
+    keys: DataFrame,
+    num_partitions: int | None = None,
+) -> dict:
+    """Cascade-delete every turn of the conversations in the `keys`
+    DataFrame (column conv_id).
+
+    The keys STAY distributed: survivors come from a left-anti join,
+    never from collecting ids to the driver and planting an In-literal
+    — a retention pass at 100 TB can match millions of conv_ids, which
+    would OOM the driver and blow up the plan. The only driver-side
+    materialization is the affected PARTITION id set, bounded by the
+    table's partition count regardless of key volume."""
     sink = MergeSink(out_dir)
     num_partitions = sink.ensure_num_partitions(num_partitions)
-    keys = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
-    pids = _affected_pids(keys, num_partitions)
-    survivors = sink.read(spark).where(
-        partition_id("conv_id", num_partitions).isin(pids)
-        & ~F.col("conv_id").isin(conv_ids)
-    )
-    return _rewrite_partitions(
-        spark, sink, survivors, pids, num_partitions, "delete"
-    )
+    keys = keys.select("conv_id").distinct().persist()
+    try:
+        pids = _affected_pids(keys, num_partitions)
+        if not pids:
+            return {"run_id": None, "rewritten": []}
+        current = sink.read(spark).where(
+            partition_id("conv_id", num_partitions).isin(pids)
+        )
+        survivors = current.join(keys, "conv_id", "left_anti")
+        return _rewrite_partitions(
+            spark, sink, survivors, pids, num_partitions, "delete"
+        )
+    finally:
+        keys.unpersist()
 
 
 def retention_cleanup(
@@ -199,10 +224,47 @@ def retention_cleanup(
     old = conversations.where(
         F.col("created_at") < F.lit(cutoff).cast("timestamp")
     ).select("conv_id")
-    ids = [r.conv_id for r in old.collect()]
-    if not ids:
-        return {"run_id": None, "rewritten": []}
-    return delete_conversations(spark, out_dir, ids, num_partitions)
+    # keys flow into the delete as a DataFrame (anti-join), never as a
+    # collected id list — retention can match millions of conversations
+    return delete_conversation_keys(spark, out_dir, old, num_partitions)
+
+
+def repair_status_violations(
+    spark: SparkSession,
+    conversations_dir: str,
+    repaired_at: str = "2025-01-01 00:00:00+00:00",
+) -> dict:
+    """Self-heal the queued+error status invariant on a conversations
+    table directory — the write-back half of P9 (the reference's
+    validateDocumentStatuses clears doc.error and re-saves each
+    violating row, document-status-validation.ts:39-46).
+
+    Idempotent MERGE semantics: only violating rows change (error ->
+    NULL), everything else is rewritten byte-identical; a second run
+    finds zero violations and leaves the directory untouched. The swap
+    is atomic at directory level (staging write + rename), the parquet
+    stand-in for `MERGE INTO conversations ... WHEN MATCHED THEN
+    UPDATE SET error = NULL` on Iceberg."""
+    import os
+    import shutil
+
+    from v2_ocr_spark.operators.relational import repair_status_invariant
+
+    conv = spark.read.parquet(conversations_dir)
+    violating = (F.col("status") == "queued") & F.col("error").isNotNull()
+    n = conv.where(violating).count()
+    if n == 0:
+        return {"repaired": 0, "rewritten": False}
+    repaired = repair_status_invariant(conv, repaired_at).select(
+        *conv.columns
+    )
+    staging = f"{conversations_dir}.staging-{uuid.uuid4().hex[:8]}"
+    repaired.write.mode("overwrite").parquet(staging)
+    backup = f"{conversations_dir}.bak-{uuid.uuid4().hex[:8]}"
+    os.rename(conversations_dir, backup)
+    os.rename(staging, conversations_dir)
+    shutil.rmtree(backup)
+    return {"repaired": n, "rewritten": True}
 
 
 def backfill_column(
