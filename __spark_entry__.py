@@ -740,10 +740,12 @@ _JACCARD_SQL = (
     "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 )
 
+# same single-alternation scan as textstats.stopword_pattern (RE2 and
+# Java regex agree on \b + non-capturing alternation for ASCII words)
 _STOP_SQL = {
-    lang: " + ".join(
-        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))"
-        for w in textstats.STOPWORDS[lang]
+    lang: (
+        "len(regexp_extract_all(lower(text), "
+        f"'{textstats.stopword_pattern(lang)}'))"
     )
     for lang in ("en", "de", "fr", "es")
 }

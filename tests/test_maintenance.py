@@ -371,3 +371,31 @@ def test_repair_status_violations_idempotent(spark, sf_small, tmp_path):
     assert healed.count() == base.count()
     res2 = repair_status_violations(spark, conv_dir)
     assert res2 == {"repaired": 0, "rewritten": False}
+
+
+def test_clear_all_data_leaves_lineage_marker(spark, populated):
+    """Clear-all wipes data/commits/checkpoints but records a
+    lastCleared marker (what was dropped + when), and the sink is
+    reusable afterwards (reference: clearAllData + lastCleared)."""
+    import pytest as _pytest
+
+    from v2_ocr_spark.pipeline.maintenance import clear_all_data, last_cleared
+
+    out, job = populated
+    n0 = job.read_output().count()
+    assert n0 > 0
+    assert last_cleared(out) is None
+    marker = clear_all_data(spark, out)
+    assert marker["rows_cleared"] == n0
+    assert len(marker["partitions_cleared"]) == NP
+    with _pytest.raises(FileNotFoundError):
+        job.read_output()
+    persisted = last_cleared(out)
+    assert persisted["rows_cleared"] == n0
+    assert persisted["cleared_at"] > 0
+    # the sink is reusable: a fresh run repopulates completely
+    res = job.run()
+    assert res["status"] == "ok"
+    assert job.read_output().count() == n0
+    # clearing did not erase the lastCleared lineage
+    assert last_cleared(out)["rows_cleared"] == n0

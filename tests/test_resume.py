@@ -211,3 +211,52 @@ def test_incremental_preserves_maintenance_results(spark, sf_small, tmp_path):
     res2 = compact_partitions(spark, out, pids=list(range(16)))
     assert res2["skipped"] == list(range(8, 16))
     assert job.run(incremental=True)["status"] == "up-to-date"
+
+
+def test_second_driver_claim_fails_while_lease_held(job_factory):
+    """Q-concurrency: the claim loop assumes ONE driver owns a sink —
+    with a live lease in place, a second driver's run() must fail
+    cleanly (LeaseHeld), not double-promote."""
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    job = job_factory("leased")
+    other = SinkLease(job.out_dir, owner="driver-B").acquire()
+    try:
+        with pytest.raises(LeaseHeld):
+            job.run()
+    finally:
+        other.release()
+    # with the lease released the same job claims and completes
+    res = job.run()
+    assert res["status"] == "ok" and res["committed"]
+
+
+def test_stale_lease_taken_over_after_ttl(job_factory, tmp_path):
+    """A crashed driver's lease (heartbeat older than ttl) must not
+    brick the sink: the next driver takes over."""
+    import json
+    import os
+
+    from v2_ocr_spark.pipeline.sink import SinkLease
+
+    job = job_factory("stale-lease")
+    os.makedirs(job.out_dir, exist_ok=True)
+    with open(os.path.join(job.out_dir, "_lease.json"), "w") as f:
+        json.dump({"owner": "dead-driver", "heartbeat": 0.0}, f)
+    res = job.run()  # default ttl 600s >> age -> takeover
+    assert res["status"] == "ok" and res["committed"]
+    # run() released its lease on exit
+    assert not os.path.exists(os.path.join(job.out_dir, "_lease.json"))
+
+
+def test_lease_reentrant_same_owner(tmp_path):
+    from v2_ocr_spark.pipeline.sink import SinkLease
+
+    d = str(tmp_path / "re")
+    import os
+
+    os.makedirs(d)
+    a = SinkLease(d, owner="me").acquire()
+    b = SinkLease(d, owner="me").acquire()  # same owner: allowed
+    b.heartbeat()
+    a.release()

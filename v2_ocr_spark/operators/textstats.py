@@ -40,12 +40,17 @@ def _word_pat(w: str) -> str:
     return rf"\b{w}\b"
 
 
+def stopword_pattern(lang: str) -> str:
+    """One alternation per language: count-equivalent to summing the
+    per-word counts (each match is a whole \\b-delimited token equal to
+    exactly one stopword, so matches are disjoint and every per-word
+    occurrence is found once) but ONE regex pass instead of five —
+    the scans are the dominant cost of quality/lang scoring."""
+    return rf"\b(?:{'|'.join(STOPWORDS[lang])})\b"
+
+
 def _stop_hits(col, lang: str) -> F.Column:
-    total = None
-    for w in STOPWORDS[lang]:
-        c = F.regexp_count(col, F.lit(_word_pat(w)))
-        total = c if total is None else total + c
-    return total
+    return F.regexp_count(col, F.lit(stopword_pattern(lang)))
 
 
 def lang_id(spark, sf_dir) -> DataFrame:

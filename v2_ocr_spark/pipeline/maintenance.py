@@ -229,6 +229,61 @@ def retention_cleanup(
     return delete_conversation_keys(spark, out_dir, old, num_partitions)
 
 
+def clear_all_data(spark: SparkSession, out_dir: str) -> dict:
+    """Drop every committed partition, checkpoint and staging dir of a
+    sink and record a `lastCleared` lineage marker — the analog of the
+    reference's clear-all-data + lastCleared timestamp (indexed-db.ts
+    clearAllData; stats-service.ts tracks lastCleared so the dashboard
+    can show 'stats since <t>').
+
+    The marker survives the wipe (it lives next to the table metadata,
+    not under data/) and carries what was dropped: snapshot ids, row
+    counts, partition count — enough for an auditor to see THAT data
+    existed and when it was removed, without retaining the data. On
+    Iceberg: DROP TABLE ... PURGE + a lineage row in an ops table."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    sink = MergeSink(out_dir)
+    committed = sink.committed()
+    rows_cleared = sum(
+        int(c.get("metrics", {}).get("turns_seen", 0) or 0)
+        for c in committed.values()
+    )
+    marker = {
+        "cleared_at": time.time(),
+        "partitions_cleared": sorted(committed),
+        "snapshot_ids": [
+            committed[p]["snapshot_id"] for p in sorted(committed)
+        ],
+        "rows_cleared": rows_cleared,
+    }
+    for sub in ("data", "_commits", "_checkpoints", "_staging"):
+        p = f"{out_dir}/{sub}"
+        shutil.rmtree(p, ignore_errors=True)
+        # recreate the empty layout: live MergeSink/CheckpointStore
+        # handles keep working (reads report 'no committed partitions',
+        # not a missing-directory crash)
+        _os.makedirs(p, exist_ok=True)
+    tmp = f"{out_dir}/_cleared.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump(marker, f)
+    _os.replace(tmp, f"{out_dir}/_cleared.json")
+    return marker
+
+
+def last_cleared(out_dir: str) -> dict | None:
+    """The lastCleared lineage marker, or None if never cleared."""
+    import json as _json
+
+    try:
+        with open(f"{out_dir}/_cleared.json", encoding="utf-8") as f:
+            return _json.load(f)
+    except FileNotFoundError:
+        return None
+
+
 def repair_status_violations(
     spark: SparkSession,
     conversations_dir: str,

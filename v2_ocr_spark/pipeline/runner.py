@@ -39,6 +39,7 @@ from v2_ocr_spark.pipeline.sink import (
     QUEUED,
     CheckpointStore,
     MergeSink,
+    SinkLease,
 )
 
 
@@ -195,6 +196,26 @@ class ExtractionJob:
         incremental-scan analog: only 1/P of the table recomputes per
         appended conversation, not the whole job."""
         run_id = uuid.uuid4().hex[:12]
+        # ONE driver owns a sink at a time: the claim loop's
+        # checkpoint get+set is not cross-process atomic, so ownership
+        # is enforced up front — a second concurrent driver fails its
+        # claim cleanly with LeaseHeld instead of double-promoting
+        lease = SinkLease(self.out_dir).acquire()
+        try:
+            return self._run_owned(
+                run_id, lease, fault, fail_before_promote, incremental
+            )
+        finally:
+            lease.release()
+
+    def _run_owned(
+        self,
+        run_id: str,
+        lease: SinkLease,
+        fault: Callable[[DataFrame], DataFrame] | None,
+        fail_before_promote: set[int] | None,
+        incremental: bool,
+    ) -> dict:
         # pin/validate the table's partition count before any staging —
         # a second job pointed at the same sink with a different count
         # must fail loudly, not scatter rows
@@ -230,6 +251,9 @@ class ExtractionJob:
                 )
             raise
 
+        # staging is the long phase — refresh the heartbeat before the
+        # promote loop so a slow stage doesn't look like a dead owner
+        lease.heartbeat()
         all_metrics = self._stage_metrics(run_id, pids)
         committed = []
         for pid in pids:

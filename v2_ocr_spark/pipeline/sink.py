@@ -88,6 +88,103 @@ class CheckpointStore:
         return reset
 
 
+class LeaseHeld(RuntimeError):
+    """Another live driver owns this sink."""
+
+
+class SinkLease:
+    """Cross-process ownership lease for a sink directory.
+
+    The claim loop's CheckpointStore get+set is atomic per FILE but not
+    across processes: two drivers pointed at one sink could both see
+    'queued' and both stage/promote the same partition. The lease makes
+    ownership explicit: one `_lease.json`, created with O_CREAT|O_EXCL
+    (atomic on POSIX), carrying owner id + heartbeat. A second driver's
+    acquire() fails with LeaseHeld while the heartbeat is fresh; a
+    lease whose heartbeat is older than ttl_seconds is presumed crashed
+    and may be taken over (acquire re-reads after the swap to confirm
+    it won any takeover race).
+
+    Honest scope: rename-based CAS is solid on local/POSIX filesystems
+    and sufficient for the one-driver-per-sink contract; on a real
+    lakehouse the equivalent fencing is Iceberg's optimistic snapshot
+    commit (CAS on table metadata), which rejects the loser's commit
+    rather than its claim."""
+
+    def __init__(self, out_dir: str, owner: str | None = None,
+                 ttl_seconds: float = 600.0):
+        import socket
+
+        self.path = os.path.join(out_dir, "_lease.json")
+        self.owner = owner or (
+            f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:6]}"
+        )
+        self.ttl = ttl_seconds
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _write(self) -> None:
+        tmp = self.path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"owner": self.owner, "heartbeat": time.time()}, f)
+        os.replace(tmp, self.path)
+
+    def acquire(self) -> "SinkLease":
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            cur = self._read()
+            if cur is not None and cur.get("owner") != self.owner:
+                age = time.time() - float(cur.get("heartbeat", 0))
+                if age < self.ttl:
+                    raise LeaseHeld(
+                        f"sink lease at {self.path} held by "
+                        f"{cur.get('owner')} (heartbeat {age:.0f}s ago, "
+                        f"ttl {self.ttl:.0f}s)"
+                    )
+            # stale (or our own) lease: take over, then CONFIRM we won —
+            # two simultaneous takeovers both swap, last writer wins
+            self._write()
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                raise LeaseHeld(
+                    f"lost takeover race for {self.path} to "
+                    f"{cur.get('owner') if cur else '<missing>'}"
+                )
+            return self
+        else:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump({"owner": self.owner, "heartbeat": time.time()}, f)
+            return self
+
+    def heartbeat(self) -> None:
+        cur = self._read()
+        if cur is None or cur.get("owner") != self.owner:
+            raise LeaseHeld(
+                f"lease at {self.path} no longer owned by {self.owner}"
+            )
+        self._write()
+
+    def release(self) -> None:
+        cur = self._read()
+        if cur is not None and cur.get("owner") == self.owner:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "SinkLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
 class MergeSink:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
