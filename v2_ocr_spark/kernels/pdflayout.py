@@ -45,7 +45,24 @@ import re
 
 import pandas as pd
 
+try:  # orjson parses ~6x faster; plain json is the fallback everywhere
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover - orjson is in the image
+    _fastjson = None
+
 _WS = re.compile(r"\s+")
+
+
+def _loads(payload: str):
+    """JSON parse with the stdlib ACCEPT-SET: orjson first (fast path),
+    stdlib retry on its stricter rejections (NaN/Infinity literals,
+    >64-bit ints) so malformed-payload classification never shifts."""
+    if _fastjson is not None:
+        try:
+            return _fastjson.loads(payload)
+        except ValueError:
+            pass
+    return json.loads(payload)
 
 GUTTER_FRAC = 0.04  # min gutter width, as a fraction of page width
 PARA_GAP_FRAC = 0.8  # paragraph break when gap > this * median line height
@@ -60,7 +77,7 @@ def _parse_boxes(payload: str | None):
     if not payload:
         return None
     try:
-        doc = json.loads(payload)
+        doc = _loads(payload)
     except (ValueError, TypeError):
         return None
     if not isinstance(doc, dict):
@@ -70,18 +87,31 @@ def _parse_boxes(payload: str | None):
         return None
     page = doc.get("page") or {}
     boxes = []
+    append = boxes.append
     for b in raw:
         if not isinstance(b, dict):
             continue
         try:
-            x0, y0 = float(b["x0"]), float(b["y0"])
-            x1, y1 = float(b["x1"]), float(b["y1"])
+            # JSON numbers arrive as float/int already — float() only
+            # for the str/bool stragglers (same accept-set as before)
+            x0, y0 = b["x0"], b["y0"]
+            x1, y1 = b["x1"], b["y1"]
+            if type(x0) is not float:
+                x0 = float(x0)
+            if type(y0) is not float:
+                y0 = float(y0)
+            if type(x1) is not float:
+                x1 = float(x1)
+            if type(y1) is not float:
+                y1 = float(y1)
         except (KeyError, TypeError, ValueError):
             continue
-        text = _collapse(str(b.get("text") or ""))
-        if not text:
-            continue
-        boxes.append((x0, y0, x1, y1, text))
+        text = b.get("text") or ""
+        if type(text) is not str:
+            text = str(text)
+        text = _collapse(text)
+        if text:
+            append((x0, y0, x1, y1, text))
     try:
         page_w = float(page.get("w", 612.0))
     except (TypeError, ValueError):
@@ -113,47 +143,64 @@ def _columns(boxes, page_w):
 
 
 def _lines(boxes):
-    """Cluster one column's boxes into reading-order lines."""
-    order = sorted(boxes, key=lambda b: (-(b[1] + b[3]) / 2.0, b[0], b[2], b[4]))
-    lines: list[dict] = []
-    for b in order:
+    """Cluster one column's boxes into reading-order lines.
+
+    Hot path (per-turn kernel): key tuples + C-level sorts instead of
+    lambda keys, running cluster state in locals instead of per-line
+    dicts. Float arithmetic is EXPRESSION-IDENTICAL to the readable
+    formulation (yc running mean, max-height), and sorting on
+    -(y0 + y1) is order-equal to -(y0 + y1)/2 because dividing by two
+    is exact in binary floating point; the trailing input index
+    reproduces the stable-sort tie order."""
+    order = sorted(
+        (-(b[1] + b[3]), b[0], b[2], b[4], i) for i, b in enumerate(boxes)
+    )
+    lines: list[tuple[list, float]] = []  # (member boxes, line height)
+    cur: list | None = None
+    cur_yc = cur_h = 0.0
+    for _neg2yc, _x0, _x1, _text, i in order:
+        b = boxes[i]
         yc = (b[1] + b[3]) / 2.0
         h = b[3] - b[1]
-        cur = lines[-1] if lines else None
-        if cur is not None and abs(yc - cur["yc"]) <= 0.5 * max(cur["h"], h):
-            cur["boxes"].append(b)
-            k = len(cur["boxes"])
-            cur["yc"] += (yc - cur["yc"]) / k  # running mean
-            cur["h"] = max(cur["h"], h)
+        if cur is not None and abs(yc - cur_yc) <= 0.5 * max(cur_h, h):
+            cur.append(b)
+            cur_yc += (yc - cur_yc) / len(cur)  # running mean
+            if h > cur_h:
+                cur_h = h
         else:
-            lines.append({"boxes": [b], "yc": yc, "h": h})
+            if cur is not None:
+                lines.append((cur, cur_h))
+            cur, cur_yc, cur_h = [b], yc, h
+    if cur is not None:
+        lines.append((cur, cur_h))
     out = []
-    for ln in lines:
-        bs = sorted(ln["boxes"], key=lambda b: (b[0], b[2], b[4]))
+    for members, h in lines:
+        bs = sorted((m[0], m[2], m[4], j) for j, m in enumerate(members))
         out.append(
-            {
-                "text": " ".join(b[4] for b in bs),
-                "top": max(b[3] for b in bs),
-                "bottom": min(b[1] for b in bs),
-                "height": ln["h"],
-            }
+            (
+                " ".join(t[2] for t in bs),          # text
+                max(m[3] for m in members),          # top
+                min(m[1] for m in members),          # bottom
+                h,                                   # height
+            )
         )
     return out
 
 
 def _paragraphs(lines) -> list[str]:
-    """Lines -> paragraph texts, breaking on wide vertical gaps."""
+    """Lines (text, top, bottom, height) -> paragraph texts, breaking
+    on wide vertical gaps."""
     if not lines:
         return []
-    heights = sorted(ln["height"] for ln in lines)
+    heights = sorted(ln[3] for ln in lines)
     med_h = heights[len(heights) // 2]
-    paras: list[list[str]] = [[lines[0]["text"]]]
+    paras: list[list[str]] = [[lines[0][0]]]
     for prev, cur in zip(lines, lines[1:]):
-        gap = prev["bottom"] - cur["top"]
+        gap = prev[2] - cur[1]
         if gap > PARA_GAP_FRAC * med_h:
-            paras.append([cur["text"]])
+            paras.append([cur[0]])
         else:
-            paras[-1].append(cur["text"])
+            paras[-1].append(cur[0])
     return ["\n".join(p) for p in paras]
 
 
