@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from v2_ocr_spark.kernels.markdown import JS_WS
-from v2_ocr_spark.operators import dedup, multimodal, relational, similarity, textstats
+from v2_ocr_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
 from v2_ocr_spark.operators.assemble import assemble, export_documents
 from v2_ocr_spark.operators.extract import extract_turns
 
@@ -272,6 +279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
         "repetition_stats": textstats.repetition_stats,
+        # corpus-level training-data ops (documents table)
+        "vocabulary_topk": corpus.vocabulary_topk,
+        "token_pack": corpus.token_pack,
+        "cross_source_overlap": corpus.cross_source_overlap,
         "hash_sample": textstats.hash_sample,
         "token_counts": textstats.token_counts,
         "fingerprints": textstats.fingerprints,
@@ -670,6 +681,33 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_frac FROM documents"
         ),
         "hash_sample": _hash_sample_sql(),
+        "vocabulary_topk": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), "
+            r"'\p{L}+|\d+|[^\p{L}\d\s]+')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 100"
+        ),
+        "token_pack": (
+            "WITH d AS (SELECT source, doc_id, "
+            r"len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]+')) "
+            "AS n_tokens FROM documents) "
+            "SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+            "CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_token, "
+            "CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048) AS INT) "
+            "AS bin FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "cross_source_overlap": (
+            "WITH e AS (SELECT source, unnest(list_distinct(list_transform("
+            "range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), "
+            "i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) "
+            "AS shingle FROM documents WHERE text IS NOT NULL), "
+            "u AS (SELECT DISTINCT source, shingle FROM e) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "count(*) AS shared_shingles FROM u a JOIN u b "
+            "ON a.shingle = b.shingle AND a.source < b.source "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "redact_pii": (
             "SELECT conv_id, turn_idx, "
             "regexp_replace(regexp_replace(text, "

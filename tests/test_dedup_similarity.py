@@ -246,3 +246,37 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(est - exact[k]) <= max(3, 3 * 0.02 * exact[k]), (
             k, est, exact[k],
         )
+
+
+def test_token_pack_bins_respect_budget_and_order(spark):
+    """Packing is deterministic and per-source: starts are the
+    exclusive running sum in doc_id order, bins are start // budget."""
+    from v2_ocr_spark.operators import corpus
+
+    out = corpus.token_pack(spark, SF, budget=100).toPandas()
+    for src, g in out.groupby("source"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        run = 0
+        for _, r in g.iterrows():
+            if r.n_tokens is None:
+                continue
+            assert r.start_token == run
+            assert r.bin == run // 100
+            run += r.n_tokens
+
+
+def test_cross_source_overlap_counts_distinct_shared(spark):
+    from v2_ocr_spark.operators import corpus
+
+    out = corpus.cross_source_overlap(spark, SF).toPandas()
+    assert (out.source_a < out.source_b).all()  # one row per unordered pair
+    assert (out.shared_shingles > 0).all()
+
+
+def test_vocabulary_topk_order(spark):
+    from v2_ocr_spark.operators import corpus
+
+    out = corpus.vocabulary_topk(spark, SF, k=10).toPandas()
+    ns = list(out.n)
+    assert ns == sorted(ns, reverse=True)
+    assert len(out) <= 10

@@ -1,0 +1,113 @@
+"""Corpus-level training-data operators over the `documents` table —
+the jobs that sit between cleaning and tokenizer-feeding in a
+pretraining pipeline:
+
+  * vocabulary_topk      — global token frequency table (the vocab /
+                           frequency-cutoff job)
+  * token_pack           — deterministic sequence packing: assign docs
+                           to fixed token-budget context windows
+  * cross_source_overlap — n-gram contamination check between corpus
+                           sources (the benchmark-decontamination shape)
+
+All three are pure DataFrame/SQL shapes with DuckDB oracle twins; the
+token regexes are the same Java/RE2-agreeing patterns as textstats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from v2_ocr_spark.operators.textstats import BPE_ISH
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def vocabulary_topk(spark, sf_dir, k: int = 100) -> DataFrame:
+    """Top-k corpus tokens by frequency (deterministic tiebreak on the
+    token) — the vocabulary/frequency-cutoff pass.
+
+    Scale shape: explode + hash groupBy with map-side partials, then a
+    distributed TakeOrdered for the top-k — no global sort, no single-
+    partition window. At 10^12 turns the token-count table is the only
+    shuffle, keyed by token (high cardinality, well spread)."""
+    # F.lit keeps the pattern out of the SQL parser (a '\d' inside an
+    # F.expr string literal would be eaten as an escape)
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(BPE_ISH), F.lit(0)
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def token_pack(spark, sf_dir, budget: int = 2048) -> DataFrame:
+    """Deterministic sequence packing: concatenate each SOURCE's docs in
+    doc_id order into a running token stream and assign every doc the
+    context window (bin) its first token lands in — the standard
+    pretraining packing job, made reproducible (no RNG, no greedy
+    first-fit whose result depends on visit order).
+
+    Scale shape: the cumulative sum windows PARTITION BY source — the
+    shard unit a real packing job uses — so no single-partition window
+    ever sees the whole corpus; each shard's stream is independent and
+    the window is one shuffle on the shard key."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_token"
+    )
+    out = d.select("source", "doc_id", "n_tokens", start)
+    return out.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.col("start_token").cast("bigint").alias("start_token"),
+        F.floor(F.col("start_token") / budget).cast("int").alias("bin"),
+    )
+
+
+def cross_source_overlap(spark, sf_dir, shingle_n: int = 5) -> DataFrame:
+    """Contamination check: for every pair of corpus sources, the count
+    of distinct word n-gram shingles they share — the shape of a
+    benchmark-decontamination pass (train side vs eval side keyed by a
+    'source' label).
+
+    Scale shape: distinct (source, shingle) projection, then a shingle
+    equi-join between source groups — the same inverted-index idiom as
+    ngram_jaccard_pairs, cost proportional to truly-shared content.
+    NULL-text docs contribute no shingles."""
+    from v2_ocr_spark.operators.dedup import shingle_explode
+
+    docs = _docs(spark, sf_dir)
+    sh = shingle_explode(
+        docs.select("doc_id", "text"), shingle_n
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    src_sh = sh.select("source", "shingle").distinct()
+    a = src_sh.select(F.col("source").alias("source_a"), "shingle")
+    b = src_sh.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
