@@ -499,6 +499,64 @@ def status_labels(spark, d):
     return _c(spark, d).select("conv_id", "status", label.alias("label"))
 
 
+def status_labels_full(df, now_ms: float):
+    """E13 COMPLETE getStatusText parity (document-list.tsx:229-246,
+    'en' locale), including the two branches the dim-table query can't
+    exercise (no such columns there):
+
+      * rate-limited rows render 'Resuming in {N}s' with
+        N = max(0, ceil((retryAfter*1000 - (now - rateLimitStart))/1000))
+        — the same arithmetic as kernels/textfns.rate_limit_countdown;
+      * cancelled rows WITH progress render 'Cancelled (n processed)'.
+
+    ``now_ms`` is an explicit parameter (the reference's Date.now()) so
+    output is deterministic and testable. Expected optional columns:
+    retry_after_s (double; NULL = not rate-limited),
+    rate_limit_start_ms (double), current_page (int)."""
+    remaining = F.greatest(
+        F.lit(0),
+        F.ceil(
+            (
+                F.col("retry_after_s") * 1000
+                - (F.lit(now_ms) - F.col("rate_limit_start_ms"))
+            )
+            / 1000
+        ),
+    ).cast("int")
+    base = (
+        F.when(
+            F.col("status") == "processing",
+            F.concat(
+                F.lit("Processing "),
+                F.coalesce(F.col("current_page"), F.lit(0)).cast("string"),
+                F.lit("/"),
+                F.coalesce(F.col("total_turns"), F.lit(0)).cast("string"),
+            ),
+        )
+        .when(
+            (F.col("status") == "cancelled")
+            & F.col("current_page").isNotNull()
+            & (F.col("current_page") > 0),
+            F.concat(
+                F.lit("Cancelled ("),
+                F.col("current_page").cast("string"),
+                F.lit(" processed)"),
+            ),
+        )
+        .when(F.col("status") == "completed", F.lit("Completed"))
+        .when(F.col("status") == "queued", F.lit("queued"))
+        .when(F.col("status") == "pending", F.lit("Pending"))
+        .when(F.col("status") == "cancelled", F.lit("Cancelled"))
+        .when(F.col("status") == "failed", F.lit("Failed"))
+        .otherwise(F.lit("Error"))
+    )
+    label = F.when(
+        F.col("retry_after_s").isNotNull(),
+        F.concat(F.lit("Resuming in "), remaining.cast("string"), F.lit("s")),
+    ).otherwise(base)
+    return df.withColumn("label", label)
+
+
 # ---- events-table operators (stream-shaped batch analytics) ----------------
 
 def _e(spark: SparkSession, sf_dir: str) -> DataFrame:
