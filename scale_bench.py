@@ -77,7 +77,7 @@ def main() -> None:
     # 100% in-container idle). Pair the levels in time — low then high
     # back-to-back per pass — so each efficiency sample sees a similar
     # interference window, and keep the best pair.
-    passes = int(os.environ.get("SCALE_BENCH_PASSES", "2"))
+    passes = int(os.environ.get("SCALE_BENCH_PASSES", "4"))  # median gate needs samples under co-tenant noise
     samples = []
     for _ in range(passes):
         low = run_level(LOW)
@@ -119,14 +119,17 @@ def main() -> None:
             "both levels within the box's ~16 PHYSICAL cores — the 32\n"
             "logical CPUs are SMT siblings, so 8->32 threads cannot\n"
             f"express 4x CPU scaling), best of {REPEATS} runs per level,\n"
-            f"best of {passes} time-paired passes, input {SF_DIR} "
-            f"({low['n_turns']} turns).\n\n"
+            f"MEDIAN of {passes} time-paired passes (a single lucky\n"
+            f"interference window must not decide the verdict), input\n"
+            f"{SF_DIR} ({low['n_turns']} turns). Shown row pair is the\n"
+            "median pass.\n\n"
             "| level | cores | wall sec | turns/sec |\n"
             "|---|---|---|---|\n"
             f"| N | {LOW} | {low['sec']} | {low['turns_per_sec']} |\n"
             f"| 4N | {HIGH} | {high['sec']} | {high['turns_per_sec']} |\n\n"
-            f"**Scaling efficiency** = (thr_{HIGH}/thr_{LOW})/4 = **{eff}** "
-            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+            f"**Scaling efficiency** = (thr_{HIGH}/thr_{LOW})/4: median "
+            f"**{median_eff}**, best {max(effs)}, all passes {effs} "
+            f"(target >= 0.8: {'PASS' if median_eff >= 0.8 else 'FAIL'})\n"
         )
 
 
