@@ -100,3 +100,36 @@ def test_writer_sorts_within_partitions(spark, tdir):
     assert "Sort [conv_id" in p and "], false, 0" in p
     assert "rangepartitioning" not in p.lower()
     assert "Exchange" not in p
+
+
+def test_ngram_jaccard_plan_has_no_cartesian(spark):
+    """The exact-Jaccard rework must stay an inverted-index equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the round-1
+    formulation was an O(n^2) crossJoin)."""
+    from v2_ocr_spark.operators import dedup
+
+    p = plan(dedup.ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_pack_window_is_partitioned_by_source(spark):
+    """Packing must never run a whole-corpus single-partition window —
+    the cumulative sum partitions by the shard key."""
+    from v2_ocr_spark.operators import corpus
+
+    p = plan(corpus.token_pack(spark, "/root/testdata/sf0.001"))
+    # an unpartitioned window would plan Exchange SinglePartition — the
+    # whole corpus through one task; the shard key must drive the hash
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(source" in p
+
+
+def test_vocabulary_topk_uses_take_ordered(spark):
+    """Top-k must plan as distributed TakeOrderedAndProject, not a
+    global sort of the whole token-count table."""
+    from v2_ocr_spark.operators import corpus
+
+    p = plan(corpus.vocabulary_topk(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p  # map-side combine on the token counts
