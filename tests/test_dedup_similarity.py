@@ -280,3 +280,30 @@ def test_vocabulary_topk_order(spark):
     ns = list(out.n)
     assert ns == sorted(ns, reverse=True)
     assert len(out) <= 10
+
+
+def test_ngram_jaccard_null_and_empty_text_policy(spark, tmp_path):
+    """Inverted-index Jaccard must keep the oracle-exact NULL policy:
+    NULL-text docs join nothing (excluded), while two ''-docs share the
+    single '' shingle and score 1.0 (DuckDB string_split('') is [''])."""
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "a b c d", "x", "s", 7),
+            (2, "a b c d", "x", "s", 7),   # exact dup of 1 -> J=1.0
+            (3, None, "x", "s", 0),        # NULL: no pairs ever
+            (4, None, "x", "s", 0),
+            (5, "", "x", "s", 0),          # '' pair -> J=1.0
+            (6, "", "x", "s", 0),
+            (7, "z z z z", "x", "s", 7),   # no overlap with anything
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in __import__(
+            "v2_ocr_spark.operators.dedup", fromlist=["dedup"]
+        ).ngram_jaccard_pairs(spark, d, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0, (5, 6): 1.0}
