@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": multimodal.image_meta,
         "multimodal_frame_sample": multimodal.frame_sample_stats,
         "multimodal_audio_chunks": multimodal.audio_chunk_stats,
+        "multimodal_image_dhash": multimodal.image_dhash_table,
+        "multimodal_image_near_dup": multimodal.image_near_dup_pairs,
     }
 
 
@@ -734,7 +736,8 @@ def oracle_sql() -> dict[str, str]:
         # codecs; each recall/plumbing-tested in tests/):
         # dedup_simhash, ann_ivf_topk, ann_srp_lsh_topk,
         # approx_distinct_users, rolling_fingerprint, multimodal_image_meta,
-        # multimodal_frame_sample, multimodal_audio_chunks.
+        # multimodal_frame_sample, multimodal_audio_chunks,
+        # multimodal_image_dhash, multimodal_image_near_dup.
     }
     return sql
 

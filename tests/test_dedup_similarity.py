@@ -307,3 +307,43 @@ def test_ngram_jaccard_null_and_empty_text_policy(spark, tmp_path):
         ).ngram_jaccard_pairs(spark, d, threshold=0.5).collect()
     }
     assert got == {(1, 2): 1.0, (5, 6): 1.0}
+
+
+def test_image_dhash_near_dup_pairs(spark, tmp_path):
+    """Perceptual-hash image dedup: identical pixel payloads pair at
+    hamming 0; a lightly-perturbed payload pairs within the threshold;
+    undecodable images never hash (and so never pair)."""
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base, "en", "s", len(base)),            # identical -> h=0
+            # same length, a few chars flipped — the length-preserving
+            # perturbation a re-encode produces (sampling is index-based)
+            (3, base[:-3] + "cat", "en", "s", 0),
+            (4, "completely different content about spark plans and "
+                "parquet footers, nothing shared with the fox at all "
+                "xyzzy " * 15, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "imgdocs")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.image_near_dup_pairs(spark, d, max_hamming=6)
+        .collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert not any(4 in p for p in pairs)
+
+    # undecodable image drops out of the hash table entirely
+    bad = multimodal.image_dhash(
+        spark.createDataFrame(
+            [(9, bytearray(b"NOPE")), (10, bytearray(b""))],
+            "doc_id long, image binary",
+        )
+    )
+    assert bad.count() == 0

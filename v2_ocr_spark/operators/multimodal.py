@@ -226,6 +226,120 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# perceptual-hash image dedup (dHash + banded hamming join)
+# ---------------------------------------------------------------------------
+
+DHASH_DDL = "doc_id long, dhash long"
+
+
+def image_dhash(imgs: DataFrame) -> DataFrame:
+    """-> (doc_id, dhash): 64-bit difference hash per image.
+
+    The REAL multimodal near-dup algorithm end to end: sample the
+    decoded pixel buffer onto a 9x8 grid (deterministic nearest-index
+    'resize'), take the horizontal gradient sign per cell, pack 64
+    bits. Only the pixel source is the FIMG fake (payload bytes as
+    intensities); swapping in PIL's `convert('L').resize((9, 8))`
+    changes nothing downstream. Undecodable or too-small images are
+    dropped (no hash -> never a duplicate), the same policy as
+    simhash's NULL-text drop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, hashes = [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+                b = bytes(buf)
+                if b[:4] != MAGIC or len(b) < 12:
+                    continue
+                pix = np.frombuffer(b, dtype=np.uint8, offset=12)
+                if len(pix) < 2:
+                    continue
+                idx = (np.arange(72) * len(pix)) // 72
+                grid = pix[idx].reshape(8, 9).astype(np.int16)
+                bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+                h = int((bits * weights).sum(dtype=np.uint64))
+                ids.append(doc_id)
+                # two's-complement into int64 for the JVM long column
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return imgs.select("doc_id", "image").mapInPandas(run, schema=DHASH_DDL)
+
+
+def image_dhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> the per-image dHash table (rows-only query: the
+    hash is engine-specific; pair-finding over it is pytest-pinned
+    with planted duplicates in test_dedup_similarity)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return image_dhash(with_fake_image(docs)).orderBy("doc_id")
+
+
+def image_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance, found with
+    an 8x8-bit banded self-join — pigeonhole: a pair within hamming 7
+    must agree exactly on at least one of the 8 bands, so recall is
+    total for max_hamming <= 7 and cost is an equi-join on (band, key),
+    never an all-pairs product. Same LSH shape as simhash_pairs /
+    minhash, applied to the image modality."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    h = image_dhash(with_fake_image(docs))
+    bands = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("dhash"), i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "dhash", "bk.band", "bk.key")
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.dhash").alias("h_a"),
+            F.col("r.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # audio plumbing: resample + fixed-duration chunking
 # ---------------------------------------------------------------------------
 
