@@ -260,3 +260,31 @@ def test_lease_reentrant_same_owner(tmp_path):
     b = SinkLease(d, owner="me").acquire()  # same owner: allowed
     b.heartbeat()
     a.release()
+
+
+def test_lease_heartbeat_survives_long_staging(job_factory):
+    """A staging phase longer than the lease ttl must not let another
+    driver take over mid-write: the background heartbeater keeps the
+    lease fresh, so a rival acquire still fails DURING the run."""
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    seen = {}
+
+    def slow_fault(df):
+        # runs driver-side while the job holds the lease: a rival
+        # acquire here (with a ttl shorter than the elapsed time would
+        # be without heartbeats) must still be refused
+        import time as _t
+
+        _t.sleep(2.5)
+        try:
+            SinkLease(job.out_dir, owner="rival", ttl_seconds=2.0).acquire()
+            seen["rival"] = "acquired"
+        except LeaseHeld:
+            seen["rival"] = "refused"
+        return df
+
+    job = job_factory("beat", lease_ttl_seconds=2.0)
+    res = job.run(fault=slow_fault)
+    assert res["status"] == "ok"
+    assert seen["rival"] == "refused"

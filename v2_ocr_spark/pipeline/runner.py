@@ -55,12 +55,14 @@ class ExtractionJob:
         out_dir: str,
         num_partitions: int = 32,
         max_attempts: int = 3,
+        lease_ttl_seconds: float = 600.0,
     ):
         self.spark = spark
         self.input_path = input_path
         self.out_dir = out_dir
         self.num_partitions = num_partitions
         self.max_attempts = max_attempts
+        self.lease_ttl = lease_ttl_seconds
         self.sink = MergeSink(out_dir)
         self.checkpoints = CheckpointStore(out_dir)
 
@@ -195,23 +197,47 @@ class ExtractionJob:
         (new data arriving in an append-only store) — the Iceberg
         incremental-scan analog: only 1/P of the table recomputes per
         appended conversation, not the whole job."""
+        import threading
+
         run_id = uuid.uuid4().hex[:12]
         # ONE driver owns a sink at a time: the claim loop's
         # checkpoint get+set is not cross-process atomic, so ownership
         # is enforced up front — a second concurrent driver fails its
         # claim cleanly with LeaseHeld instead of double-promoting
-        lease = SinkLease(self.out_dir).acquire()
+        lease = SinkLease(self.out_dir, ttl_seconds=self.lease_ttl).acquire()
+        # the staging Spark job can outlast the lease ttl — a daemon
+        # heartbeater keeps the lease fresh for the whole run so a
+        # long stage is never mistaken for a dead owner and taken
+        # over mid-write; if the lease is somehow lost anyway, the
+        # flag stops promotion before any partition publishes
+        stop_beat = threading.Event()
+        lease_lost = threading.Event()
+
+        def _beat() -> None:
+            while not stop_beat.wait(max(self.lease_ttl / 3.0, 1.0)):
+                try:
+                    lease.heartbeat()
+                except Exception:  # noqa: BLE001 — lost to a takeover
+                    lease_lost.set()
+                    return
+
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
         try:
             return self._run_owned(
-                run_id, lease, fault, fail_before_promote, incremental
+                run_id, lease, lease_lost, fault, fail_before_promote,
+                incremental,
             )
         finally:
+            stop_beat.set()
+            beater.join(timeout=5)
             lease.release()
 
     def _run_owned(
         self,
         run_id: str,
         lease: SinkLease,
+        lease_lost,
         fault: Callable[[DataFrame], DataFrame] | None,
         fail_before_promote: set[int] | None,
         incremental: bool,
@@ -251,8 +277,14 @@ class ExtractionJob:
                 )
             raise
 
-        # staging is the long phase — refresh the heartbeat before the
-        # promote loop so a slow stage doesn't look like a dead owner
+        # ownership must still hold before anything publishes — if the
+        # background heartbeater lost the lease (takeover), promoting
+        # now would race the new owner
+        if lease_lost.is_set():
+            raise RuntimeError(
+                f"sink lease for {self.out_dir} was lost during staging; "
+                "refusing to promote"
+            )
         lease.heartbeat()
         all_metrics = self._stage_metrics(run_id, pids)
         committed = []
