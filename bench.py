@@ -115,6 +115,14 @@ def main() -> None:
     timed("quality_score",
           lambda: textstats.quality_score(spark, SF_DIR)
           .agg(F.sum("quality")).collect())
+
+    from v2_ocr_spark.operators import corpus
+
+    timed("vocabulary_topk",
+          lambda: corpus.vocabulary_topk(spark, SF_DIR).count())
+    timed("token_pack",
+          lambda: corpus.token_pack(spark, SF_DIR)
+          .agg(F.max("bin"), F.sum("n_tokens")).collect())
     timed("token_counts",
           lambda: textstats.token_counts(spark, SF_DIR)
           .agg(F.sum("bpe_tokens")).collect())
