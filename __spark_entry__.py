@@ -174,6 +174,45 @@ def q_conversation_dedup(spark, sf_dir):
     )
 
 
+def q_conversation_near_dup(spark, sf_dir):
+    """Near-duplicate CONVERSATIONS: exact word-shingle Jaccard over
+    the ASSEMBLED conversation text — catches template/boilerplate
+    conversations that the exact fingerprint dedup misses. Same
+    inverted-index shape as the documents path, id type string.
+    Threshold 0.1 here: the fixture generator plants no high-similarity
+    conversation pairs (corpus max J = 0.182), and a verified non-empty
+    pair set is a stronger gate check than an agreed-empty one; real
+    dedup pipelines run 0.7-0.9 on the same operator.
+
+    The text is whitespace-NORMALIZED first (collapse [ \\t\\n\\f\\r]+
+    runs, trim, drop empty conversations) — the standard near-dup
+    canonicalization, and it makes conversation tokens equal to the
+    concatenation of per-turn tokens, which is what lets the DuckDB
+    oracle shingle from TURN-level rows: per-element lambdas over a
+    130k-token whole-conversation list are quadratic in DuckDB (the
+    skew conversation hangs it), while turn-level lists stay small and
+    a window supplies the cross-turn shingles."""
+    out = extract_turns(_transcripts(spark, sf_dir))
+    doc = (
+        assemble(out, chunk_size=256)
+        .select(
+            "conv_id",
+            F.trim(
+                F.regexp_replace("document_text", "[ \t\n\f\r]+", " ")
+            ).alias("text"),
+        )
+        .where(F.length("text") > 0)
+    )
+    pairs = dedup.ngram_jaccard_pairs_for(
+        doc, threshold=0.1, id_col="conv_id"
+    )
+    return pairs.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
 def q_export(spark, sf_dir):
     out = extract_turns(_transcripts(spark, sf_dir))
     conv = _conversations(spark, sf_dir)
@@ -199,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_documents": q_assemble,
         "span_explode": q_span_explode,
         "conversation_dedup": q_conversation_dedup,
+        "conversation_near_dup": q_conversation_near_dup,
         "export_documents": q_export,
         # relational surface (S/P/A/O/J, E5/E6)
         "queue_scan": _rel(relational.queue_scan),
@@ -387,6 +427,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT fingerprint, count(*) AS n_convs, "
             "string_agg(conv_id, ',' ORDER BY conv_id) AS conv_ids "
             "FROM d GROUP BY fingerprint HAVING count(*) > 1"
+        ),
+        "conversation_near_dup": (
+            # turn-level tokenization + a per-conversation window builds
+            # the cross-turn shingles — whole-conversation lists would
+            # be quadratic in DuckDB's per-element lambdas (the 130k-
+            # token skew conversation hangs them); whitespace
+            # normalization makes the two tokenizations identical
+            "WITH tn AS (SELECT conv_id, turn_idx, "
+            r"regexp_replace(trim(expected_text, e' \t\n\f\r'), "
+            r"'[ \t\n\f\r]+', ' ', 'g') AS norm "
+            f"FROM {_E} WHERE expected_text IS NOT NULL), "
+            "tt AS (SELECT conv_id, turn_idx, "
+            "unnest(list_transform(string_split(norm, ' '), "
+            "(x, i) -> struct_pack(tok := x, i := i))) AS t "
+            "FROM tn WHERE length(norm) > 0), "
+            "seq AS (SELECT conv_id, t.tok, row_number() OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx, t.i) AS gi, "
+            "count(*) OVER (PARTITION BY conv_id) AS n_toks FROM tt), "
+            "sh AS (SELECT DISTINCT conv_id AS doc_id, "
+            "tok || coalesce(' ' || lead(tok, 1) OVER w, '') "
+            "|| coalesce(' ' || lead(tok, 2) OVER w, '') AS shingle "
+            "FROM seq WINDOW w AS (PARTITION BY conv_id ORDER BY gi) "
+            "QUALIFY gi <= greatest(n_toks - 2, 1)), "
+            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b, "
+            "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
+            "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
+            "JOIN cnt cb ON cb.doc_id = doc_b "
+            "WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.1) "
+            "SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard "
+            "FROM pairs ORDER BY conv_a, conv_b"
         ),
         "export_documents": (
             f"WITH n AS (SELECT conv_id, count(*) AS cnt FROM {_E} GROUP BY conv_id), "
@@ -749,21 +823,29 @@ def oracle_sql() -> dict[str, str]:
 # faster in DuckDB than per-pair list_intersect — gate latency is
 # oracle latency too. NULL text contributes no shingles (the all-pairs
 # form excluded NULL docs via NULL-propagating division).
-_SHINGLE_CTES = (
-    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
-    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS shingle "
-    "FROM documents WHERE text IS NOT NULL), "
-    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-    "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
-    "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-    "pairs AS (SELECT doc_a, doc_b, "
-    "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
-    "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
-    "JOIN cnt cb ON cb.doc_id = doc_b "
-    "WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5)"
-)
+def _shingle_ctes(src: str = "documents", threshold: float = 0.5,
+                  id_col: str = "doc_id") -> str:
+    """The inverted-index Jaccard CTE chain over any (id, text) source
+    — `src` is a table name or a parenthesized subquery."""
+    return (
+        f"sh AS (SELECT {id_col} AS doc_id, "
+        "unnest(list_distinct(list_transform("
+        "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+        "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) "
+        f"AS shingle FROM {src} WHERE text IS NOT NULL), "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b, "
+        "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
+        "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
+        "JOIN cnt cb ON cb.doc_id = doc_b "
+        f"WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= {threshold})"
+    )
+
+
+_SHINGLE_CTES = _shingle_ctes()
 
 _CLUSTERS_SQL = (
     "WITH RECURSIVE "

@@ -27,6 +27,15 @@ REPEATS = int(os.environ.get("SCALE_BENCH_REPEATS", "3"))
 # 0.78 (SMT contention), 8->32 eff ~0.5 (logical-core ceiling).
 LOW = int(os.environ.get("SCALE_BENCH_LOW", "2"))
 HIGH = int(os.environ.get("SCALE_BENCH_HIGH", "8"))
+# "threads": local[N] thread scaling (default — fastest, zero spin-up).
+# "executors": local-cluster[N,2,3072] — REAL separate executor JVMs
+# with the --py-files zip shipped to their Python workers; LOW/HIGH
+# become executor counts (default 1 -> 4, i.e. literally N vs 4N
+# executors at 2 cores each, still within the box's physical cores).
+MODE = os.environ.get("SCALE_BENCH_MODE", "threads")
+if MODE == "executors":
+    LOW = int(os.environ.get("SCALE_BENCH_LOW", "1"))
+    HIGH = int(os.environ.get("SCALE_BENCH_HIGH", "4"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -36,9 +45,20 @@ import __spark_entry__ as entry_mod
 from v2_ocr_spark.operators.extract import extract_turns
 from v2_ocr_spark.session import get_spark
 
-cores = int(sys.argv[1]); sf_dir = sys.argv[2]; repeats = int(sys.argv[3])
-spark = get_spark(app_name=f"scale{cores}", master=f"local[{cores}]",
+n_units = int(sys.argv[1]); sf_dir = sys.argv[2]; repeats = int(sys.argv[3])
+mode = sys.argv[4]
+if mode == "executors":
+    cores = n_units * 2
+    master = f"local-cluster[{n_units},2,3072]"
+else:
+    cores = n_units
+    master = f"local[{n_units}]"
+spark = get_spark(app_name=f"scale{n_units}", master=master,
                   shuffle_partitions=cores)
+if mode == "executors":
+    # separate executor JVMs: their Python workers import the kernels
+    # from the shipped zip, exactly like spark-submit --py-files
+    spark.sparkContext.addPyFile("/root/repo/dist/v2_ocr_spark.zip")
 path = entry_mod._data_dir(sf_dir) + "/transcripts.parquet"
 base = spark.read.parquet(path)
 # replicate the input 8x so the measured run is long enough to
@@ -63,9 +83,10 @@ spark.stop()
 """
 
 
-def run_level(cores: int) -> dict:
+def run_level(units: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), SF_DIR, str(REPEATS)],
+        [sys.executable, "-c", WORKER, str(units), SF_DIR, str(REPEATS),
+         MODE],
         capture_output=True, text=True, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -96,8 +117,10 @@ def main() -> None:
     eff, low, high = min(
         samples, key=lambda s: abs(s[0] - median_eff)
     )
+    unit = "executors" if MODE == "executors" else "cores"
     result = {
-        "metric": f"scaling_efficiency_{LOW}_to_{HIGH}_cores",
+        "metric": f"scaling_efficiency_{LOW}_to_{HIGH}_{unit}",
+        "mode": MODE,
         "low": low,
         "high": high,
         "efficiency": median_eff,
@@ -109,6 +132,31 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    if MODE == "executors":
+        with open("/root/repo/BENCH/EXECUTORS.md", "w", encoding="utf-8") as f:
+            f.write(
+                "# BENCH/EXECUTORS — N vs 4N REAL executors "
+                "(local-cluster)\n\n"
+                f"The north rule's literal shape: local-cluster[{LOW},2,3072] "
+                f"vs local-cluster[{HIGH},2,3072] —\n"
+                "separate executor JVMs, shuffle over netty, Python workers "
+                "importing the kernels\nfrom the dist/v2_ocr_spark.zip "
+                "shipped via addPyFile (the --py-files path), fresh\n"
+                f"cluster per level, best of {REPEATS} runs, MEDIAN of "
+                f"{passes} time-paired passes,\ninput {SF_DIR} "
+                f"({low['n_turns']} turns).\n\n"
+                "| level | executors | cores | wall sec | turns/sec |\n"
+                "|---|---|---|---|---|\n"
+                f"| N | {LOW} | {low['cores']} | {low['sec']} | "
+                f"{low['turns_per_sec']} |\n"
+                f"| 4N | {HIGH} | {high['cores']} | {high['sec']} | "
+                f"{high['turns_per_sec']} |\n\n"
+                f"**Scaling efficiency** = (thr_4N/thr_N)/4: median "
+                f"**{median_eff}**, best {max(effs)}, all passes {effs} "
+                f"(target >= 0.8: "
+                f"{'PASS' if median_eff >= 0.8 else 'FAIL'})\n"
+            )
+        return
     with open("/root/repo/BENCH/BASELINE.md", "w", encoding="utf-8") as f:
         f.write(
             "# BENCH/BASELINE — extraction throughput at two parallelism "

@@ -337,8 +337,10 @@ def shingle_explode(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
                 sh.extend(distinct)
             yield pd.DataFrame({"doc_id": ids, "shingle": sh})
 
+    # id type follows the input (bigint doc_id, string conv_id, ...)
+    id_type = dict(docs.dtypes)["doc_id"]
     return docs.select("doc_id", "text").mapInPandas(
-        run, schema="doc_id long, shingle string"
+        run, schema=f"doc_id {id_type}, shingle string"
     )
 
 
@@ -366,7 +368,21 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
     shingles — the default (None) stays exact, which is this operator's
     contract; use minhash_lsh_pairs as the tunable approximate path.
     """
-    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs_for(
+        _docs(spark, sf_dir), threshold=threshold, shingle_n=shingle_n,
+        max_df=max_df,
+    )
+
+
+def ngram_jaccard_pairs_for(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3,
+    max_df: int | None = None, id_col: str = "doc_id",
+) -> DataFrame:
+    """ngram_jaccard_pairs over ANY (id, text) DataFrame — e.g.
+    assembled conversation texts for conversation-level near-dup. The
+    id column may be any orderable type (doc_a < doc_b dedups the
+    unordered pair either way)."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), "text")
     # lazy (no persist): a gate query's 3 passes re-tokenize cheaply;
     # production callers persist sh when the corpus pass is expensive
     sh = shingle_explode(docs, shingle_n)
