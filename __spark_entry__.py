@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_clusters": dedup.duplicate_clusters,
+        "dedup_keep_list": dedup.dedup_keep_list,
+        "corpus_filter": corpus.corpus_filter,
         # similarity (embeddings table)
         "ann_brute_force_topk": similarity.brute_force_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -704,6 +706,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "dedup_keep_list": _KEEP_LIST_SQL,
+        "corpus_filter": (
+            _CLUSTERS_CTES + ", "
+            f"q AS ({_quality_sql()}), l AS ({_lang_id_sql()}) "
+            "SELECT d.doc_id, l.pred_lang, q.quality, "
+            "CASE WHEN d.n_chars < 100 THEN 'too_short' "
+            "WHEN l.pred_lang NOT IN ('en','de','fr','es') THEN 'lang' "
+            "WHEN q.quality < 0.5 THEN 'low_quality' "
+            "WHEN NOT (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) "
+            "THEN 'near_duplicate' ELSE 'kept' END AS reason, "
+            "(CASE WHEN d.n_chars < 100 THEN 'too_short' "
+            "WHEN l.pred_lang NOT IN ('en','de','fr','es') THEN 'lang' "
+            "WHEN q.quality < 0.5 THEN 'low_quality' "
+            "WHEN NOT (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) "
+            "THEN 'near_duplicate' ELSE 'kept' END) = 'kept' AS keep "
+            "FROM documents d "
+            "LEFT JOIN clusters c USING (doc_id) "
+            "JOIN q ON q.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id "
+            "ORDER BY d.doc_id"
+        ),
         "dedup_minhash_lsh": _JACCARD_SQL,  # same contract: all pairs >= 0.5
         # ---- similarity (embeddings view) ----
         "cosine_near_dup": (
@@ -847,14 +869,27 @@ def _shingle_ctes(src: str = "documents", threshold: float = 0.5,
 
 _SHINGLE_CTES = _shingle_ctes()
 
-_CLUSTERS_SQL = (
+# the recursive transitive-closure CTE chain ending in
+# clusters(doc_id, cluster_id) — shared by the clusters query, the
+# keep-list and the composed corpus filter
+_CLUSTERS_CTES = (
     "WITH RECURSIVE "
     + _SHINGLE_CTES + ", "
     "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
     "UNION ALL SELECT doc_b, doc_a FROM pairs), "
     "reach AS (SELECT src AS doc_id, src AS reach FROM edges "
-    "UNION SELECT e.src, r.reach FROM edges e JOIN reach r ON e.dst = r.doc_id) "
-    "SELECT doc_id, min(reach) AS cluster_id FROM reach GROUP BY doc_id"
+    "UNION SELECT e.src, r.reach FROM edges e JOIN reach r ON e.dst = r.doc_id), "
+    "clusters AS (SELECT doc_id, min(reach) AS cluster_id "
+    "FROM reach GROUP BY doc_id)"
+)
+
+_CLUSTERS_SQL = _CLUSTERS_CTES + " SELECT doc_id, cluster_id FROM clusters"
+
+_KEEP_LIST_SQL = (
+    _CLUSTERS_CTES + " "
+    "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+    "(c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep "
+    "FROM documents d LEFT JOIN clusters c USING (doc_id) ORDER BY d.doc_id"
 )
 
 

@@ -399,3 +399,43 @@ def test_ngram_jaccard_equals_bruteforce_on_random_corpus(spark, tmp_path):
     }
     assert got == brute
     assert brute  # the corpus actually produced qualifying pairs
+
+
+def test_dedup_keep_list_matches_clusters(spark):
+    """keep == (not a non-canonical cluster member); every doc appears
+    exactly once; survivors = corpus minus dropped members."""
+    clusters = dedup.duplicate_clusters(spark, SF).toPandas()
+    keep = dedup.dedup_keep_list(spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(keep) == n_docs
+    dropped = set(keep.loc[~keep.keep, "doc_id"])
+    non_canonical = set(
+        clusters.loc[clusters.doc_id != clusters.cluster_id, "doc_id"]
+    )
+    assert dropped == non_canonical
+    # canonical members and unclustered docs keep their own id
+    kept = keep[keep.keep]
+    assert (kept.doc_id == kept.cluster_id).all()
+
+
+def test_corpus_filter_reason_precedence(spark):
+    """Reasons compose in fixed order: too_short beats lang beats
+    low_quality beats near_duplicate; keep iff reason == 'kept'."""
+    from v2_ocr_spark.operators import corpus
+
+    out = corpus.corpus_filter(spark, SF).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+    j = out.merge(docs, on="doc_id")
+    assert (j.loc[j.n_chars < 100, "reason"] == "too_short").all()
+    assert ((j.reason == "kept") == j.keep).all()
+    langs = {"en", "de", "fr", "es"}
+    bad_lang = j[(j.n_chars >= 100) & (~j.pred_lang.isin(langs))]
+    assert (bad_lang.reason == "lang").all()
+    assert set(j.reason) <= {
+        "too_short", "lang", "low_quality", "near_duplicate", "kept"
+    }
+    assert j.keep.any() and (~j.keep).any()  # filter actually filters

@@ -85,6 +85,56 @@ def token_pack(spark, sf_dir, budget: int = 2048) -> DataFrame:
     )
 
 
+def corpus_filter(
+    spark, sf_dir,
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    dedup_threshold: float = 0.5,
+) -> DataFrame:
+    """The composed C4/Gopher-style cleaning decision: per document, a
+    keep/drop verdict with an auditable reason string — the join of the
+    quality heuristic, language ID, length floor, and near-dup keeper
+    selection that an actual pretraining data pipeline applies before
+    tokenization. Reasons compose in a FIXED order (length, lang,
+    quality, dup) so the first failing check names the row.
+
+    Scale shape: three narrow codegen projections joined on doc_id
+    (broadcast-size here, co-partitioned hash joins at corpus scale)
+    plus the memoized LSH keeper list — nothing quadratic anywhere."""
+    from v2_ocr_spark.operators.dedup import dedup_keep_list
+    from v2_ocr_spark.operators.textstats import lang_id, quality_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    lang = lang_id(spark, sf_dir)
+    keep = dedup_keep_list(spark, sf_dir, threshold=dedup_threshold).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    j = (
+        docs.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(keep, "doc_id")
+    )
+    reason = (
+        F.when(F.col("n_chars") < min_chars, F.lit("too_short"))
+        .when(~F.col("pred_lang").isin(*langs), F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(~F.col("dedup_keep"), F.lit("near_duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.select(
+            "doc_id",
+            "pred_lang",
+            "quality",
+            reason.alias("reason"),
+            (reason == "kept").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def cross_source_overlap(spark, sf_dir, shingle_n: int = 5) -> DataFrame:
     """Contamination check: for every pair of corpus sources, the count
     of distinct word n-gram shingles they share — the shape of a

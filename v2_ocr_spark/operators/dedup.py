@@ -413,6 +413,36 @@ def ngram_jaccard_pairs_for(
     )
 
 
+def dedup_keep_list(
+    spark, sf_dir, threshold: float = 0.5, shingle_n: int = 3,
+) -> DataFrame:
+    """The consumable OUTPUT of near-dup dedup: per doc, whether it
+    survives (cluster canonical = the minimum doc_id of its connected
+    component; unclustered docs always survive) — the keep/drop table a
+    training pipeline anti-joins against before tokenization. Reuses
+    the memoized LSH pair set and the same label propagation as
+    duplicate_clusters, so a gate/pipeline that already clustered pays
+    only the final join."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clusters = duplicate_clusters(
+        spark, sf_dir, threshold=threshold, shingle_n=shingle_n
+    )
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def simhash_64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash long): sign of per-bit +/-1 sums over token
     hashes — 64 conditional-sum aggregates, all JVM-side."""
