@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.duplicate_clusters,
         "dedup_keep_list": dedup.dedup_keep_list,
         "corpus_filter": corpus.corpus_filter,
+        "corpus_filter_stats": corpus.corpus_filter_stats,
         # similarity (embeddings table)
         "ann_brute_force_topk": similarity.brute_force_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -725,6 +726,24 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN clusters c USING (doc_id) "
             "JOIN q ON q.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id "
             "ORDER BY d.doc_id"
+        ),
+        "corpus_filter_stats": (
+            _CLUSTERS_CTES + ", "
+            f"q AS ({_quality_sql()}), l AS ({_lang_id_sql()}), "
+            "f AS (SELECT d.doc_id, "
+            "CASE WHEN d.n_chars < 100 THEN 'too_short' "
+            "WHEN l.pred_lang NOT IN ('en','de','fr','es') THEN 'lang' "
+            "WHEN q.quality < 0.5 THEN 'low_quality' "
+            "WHEN NOT (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) "
+            "THEN 'near_duplicate' ELSE 'kept' END AS reason "
+            "FROM documents d LEFT JOIN clusters c USING (doc_id) "
+            "JOIN q ON q.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id), "
+            "t AS (SELECT doc_id, "
+            r"len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]+')) "
+            "AS bpe FROM documents) "
+            "SELECT reason, count(*) AS n_docs, "
+            "CAST(sum(t.bpe) AS BIGINT) AS bpe_tokens "
+            "FROM f JOIN t USING (doc_id) GROUP BY reason ORDER BY reason"
         ),
         "dedup_minhash_lsh": _JACCARD_SQL,  # same contract: all pairs >= 0.5
         # ---- similarity (embeddings view) ----

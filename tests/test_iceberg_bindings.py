@@ -50,3 +50,15 @@ def test_gate_refuses_without_runtime(spark):
         pytest.skip("iceberg runtime present; gate is open")
     with pytest.raises(NotImplementedError, match="MergeSink"):
         ice.ensure_table(spark, "cat.db.extracted")
+
+
+def test_repair_and_clear_all_sql():
+    from v2_ocr_spark.pipeline.iceberg import clear_all_sql, repair_status_sql
+
+    assert repair_status_sql("cat.db.conversations") == (
+        "UPDATE cat.db.conversations SET error = NULL "
+        "WHERE status = 'queued' AND error IS NOT NULL"
+    )
+    assert clear_all_sql("cat.db.extracted") == (
+        "DELETE FROM cat.db.extracted WHERE true"
+    )

@@ -135,6 +135,27 @@ def corpus_filter(
     )
 
 
+def corpus_filter_stats(spark, sf_dir, **filter_kwargs) -> DataFrame:
+    """The number every data meeting asks for: docs and token budget
+    per filter outcome — how much survives cleaning, and what each
+    rule costs. One rollup over corpus_filter joined to the token
+    counts (map-side partial aggregation; the reason key has 5
+    values, so the final shuffle is trivial)."""
+    from v2_ocr_spark.operators.textstats import token_counts
+
+    f = corpus_filter(spark, sf_dir, **filter_kwargs)
+    toks = token_counts(spark, sf_dir).select("doc_id", "bpe_tokens")
+    return (
+        f.join(toks, "doc_id")
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        )
+        .orderBy("reason")
+    )
+
+
 def cross_source_overlap(spark, sf_dir, shingle_n: int = 5) -> DataFrame:
     """Contamination check: for every pair of corpus sources, the count
     of distinct word n-gram shingles they share — the shape of a

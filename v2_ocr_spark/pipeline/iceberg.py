@@ -87,6 +87,24 @@ def retention_delete_sql(table: str, ts_col: str, cutoff_iso: str) -> str:
     return f"DELETE FROM {table} WHERE {ts_col} < TIMESTAMP '{cutoff_iso}'"
 
 
+def repair_status_sql(table: str) -> str:
+    """P9 self-heal write-back — the Iceberg form of
+    maintenance.repair_status_violations (reference clears doc.error
+    for every queued+error row, document-status-validation.ts:39-46).
+    Idempotent: the WHERE matches nothing on a second run."""
+    return (
+        f"UPDATE {table} SET error = NULL "
+        "WHERE status = 'queued' AND error IS NOT NULL"
+    )
+
+
+def clear_all_sql(table: str) -> str:
+    """Clear-all-data — DELETE keeps the table + snapshot lineage (the
+    lastCleared audit trail lives in table history; expire_snapshots
+    later reclaims the data files)."""
+    return f"DELETE FROM {table} WHERE true"
+
+
 def expire_snapshots_sql(catalog: str, table: str, older_than_iso: str) -> str:
     """Physical cleanup after S8 — Iceberg maintenance procedure."""
     return (
