@@ -256,15 +256,22 @@ def verify_jaccard(
 _PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
+# cluster LABELS are memoized too: the keeper list and the composed
+# corpus filter all consume the same transitive closure, and the
+# propagation loop is the expensive part once pairs are cached
+_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def clear_pairs_cache() -> None:
-    """Unpersist and drop every memoized pair set (benchmarks call this
-    so cold-path timings stay honest)."""
-    for df in _PAIRS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    _PAIRS_CACHE.clear()
+    """Unpersist and drop every memoized pair set AND cluster label set
+    (benchmarks call this so cold-path timings stay honest)."""
+    for cache in (_PAIRS_CACHE, _CLUSTERS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+        cache.clear()
 
 
 def minhash_lsh_pairs(
@@ -552,7 +559,19 @@ def duplicate_clusters(
     (cheap, partial-agged). DuckDB oracle: recursive CTE reachability
     over the identical exact pair set.
     """
+    cache_key = None
     if pairs is None:
+        if max_iter is None:
+            # the default path memoizes the CONVERGED labels as well —
+            # keeper selection and the corpus filter re-consume the
+            # identical closure, and the propagation loop (not the
+            # cached pairs) is their dominant cost
+            cache_key = (
+                spark.sparkContext.applicationId, sf_dir, threshold,
+                shingle_n,
+            )
+            if cache_key in _CLUSTERS_CACHE:
+                return _CLUSTERS_CACHE[cache_key]
         # memoized: a gate/pipeline that already ran pair-finding on
         # this corpus reuses the persisted pair set instead of paying
         # the signature+bucket+verify cascade again
@@ -611,4 +630,11 @@ def duplicate_clusters(
             break
 
     edges.unpersist()
-    return labels.select("doc_id", "cluster_id").orderBy("doc_id")
+    result = labels.select("doc_id", "cluster_id").orderBy("doc_id")
+    if cache_key is not None:
+        # labels is already persisted by the loop; keep the final
+        # projection cached for reuse (released by clear_pairs_cache)
+        result = result.persist()
+        result.count()
+        _CLUSTERS_CACHE[cache_key] = result
+    return result
