@@ -1,0 +1,93 @@
+"""Large-corpus stress probe for the dedup/ANN scale paths.
+
+Replicates the sf0.1 documents (5k) and embeddings (5k) tables 20x
+with distinct ids — every original row gains 19 exact duplicates, the
+WORST case for near-dup machinery (maximal bucket collisions, maximal
+candidate volume: ~5k clusters x C(20,2) = ~0.95M true pairs) — and
+runs the production paths end to end:
+
+  * minhash_lsh_pairs on 100k docs (signature pass, banded bucket
+    join with the max_bucket guardrail, chunked pair fan-out,
+    candidate-proportional exact verify)
+  * srp_lsh_topk on 100k vectors (BLAS signature pass, bucket
+    equi-join, exact re-rank)
+
+Prints one JSON line; results are recorded in BASELINE.md. This is a
+probe, not a per-round bench — run it manually after touching the
+dedup/similarity scale paths:  python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+REPL = int(os.environ.get("SCALE_PROBE_REPL", "20"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SCALE_PROBE_DIR", "/tmp/v2ocr_scale_probe")
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from v2_ocr_spark.operators import dedup, similarity
+    from v2_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    os.makedirs(WORK, exist_ok=True)
+
+    # ---- build the replicated corpus (ids offset per replica) ----
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(REPL).select(F.col("id").alias("rep"))
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    big_docs.write.mode("overwrite").parquet(f"{WORK}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+        "embedding", "label",
+    )
+    big_emb.write.mode("overwrite").parquet(f"{WORK}/embeddings.parquet")
+
+    # ---- dedup stress: every doc has REPL-1 exact duplicates ----
+    dedup.clear_pairs_cache()
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(spark, WORK, use_cache=False)
+    n_pairs = pairs.count()
+    t_dedup = time.perf_counter() - t0
+    # sanity: at least the exact-duplicate pairs must be found
+    # (groups of REPL identical docs -> C(REPL,2) pairs each, minus
+    # any group dropped by the degenerate-bucket guardrail)
+    expected_min = int(0.9 * n_docs * REPL * (REPL - 1) / 2)
+    pairs.unpersist()
+
+    # ---- ANN stress: 100k vectors, exact-duplicate neighbors ----
+    t0 = time.perf_counter()
+    topk = similarity.srp_lsh_topk(spark, WORK, k=5, n_queries=10)
+    n_topk = topk.count()
+    t_ann = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "scale_probe",
+        "replication": REPL,
+        "n_docs": n_docs * REPL,
+        "dedup_pairs": n_pairs,
+        "dedup_pairs_expected_min": expected_min,
+        "dedup_recall_ok": n_pairs >= expected_min,
+        "dedup_sec": round(t_dedup, 1),
+        "ann_rows": n_topk,
+        "ann_sec": round(t_ann, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
