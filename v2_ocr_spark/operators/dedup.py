@@ -232,11 +232,21 @@ def verify_jaccard(
 
     def run(batches):
         for pdf in batches:
+            # tokenize each doc ONCE per batch: a doc in a duplicate
+            # cluster appears in many candidate pairs, and the shingle
+            # set build dominates the verify constant (memory bounded
+            # by batch size, not corpus)
+            memo: dict = {}
             rows = []
             for doc_a, doc_b, ta, tb in zip(
                 pdf["doc_a"], pdf["doc_b"], pdf["ta"], pdf["tb"]
             ):
-                sa, sb = shingle_set(ta), shingle_set(tb)
+                sa = memo.get(doc_a)
+                if sa is None:
+                    sa = memo[doc_a] = shingle_set(ta)
+                sb = memo.get(doc_b)
+                if sb is None:
+                    sb = memo[doc_b] = shingle_set(tb)
                 union = len(sa | sb)
                 rows.append(
                     (doc_a, doc_b, len(sa & sb) / union if union else 0.0)
