@@ -67,7 +67,13 @@ _EXTRACT_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, _data_dir(sf_dir))
+    from v2_ocr_spark.operators.dedup import input_signature
+
+    d = _data_dir(sf_dir)
+    key = (
+        spark.sparkContext.applicationId, d,
+        input_signature(f"{d}/transcripts.parquet"),
+    )
     if key not in _EXTRACT_CACHE:
         df = extract_turns(_transcripts(spark, sf_dir)).persist()
         df.count()

@@ -36,6 +36,13 @@ MODE = os.environ.get("SCALE_BENCH_MODE", "threads")
 if MODE == "executors":
     LOW = int(os.environ.get("SCALE_BENCH_LOW", "1"))
     HIGH = int(os.environ.get("SCALE_BENCH_HIGH", "4"))
+    # the zip is WHAT RUNS on the executors' Python workers — rebuild
+    # it so the benchmark never measures stale kernels (CLAUDE.md
+    # stale-zip rule)
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/build_pyfiles.py"],
+        check=True, capture_output=True,
+    )
 
 WORKER = r"""
 import json, os, sys, time

@@ -439,3 +439,52 @@ def test_corpus_filter_reason_precedence(spark):
         "too_short", "lang", "low_quality", "near_duplicate", "kept"
     }
     assert j.keep.any() and (~j.keep).any()  # filter actually filters
+
+
+def test_zero_vector_never_ranks_as_neighbor(spark, tmp_path):
+    """Review regression: a zero embedding has no direction — it must
+    be dropped at normalization, not become a NaN cosine that Spark
+    ranks FIRST in every top-k window (NaN > all doubles in Spark)."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(7)
+    for i in range(20):
+        rows.append((i, [float(x) for x in rng.standard_normal(8)], 0))
+    rows.append((99, [0.0] * 8, 0))  # the zero vector
+    d = str(tmp_path / "zv")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    bf = similarity.brute_force_topk(spark, d, k=3, n_queries=2).toPandas()
+    assert 99 not in set(bf.nbr_id)          # never a neighbor
+    assert not bf.cosine.isna().any()        # and no NaN scores at all
+    nd = similarity.cosine_near_dup_pairs(spark, d, threshold=0.0).toPandas()
+    assert 99 not in set(nd.id_a) | set(nd.id_b)
+
+
+def test_ngram_jaccard_rejects_nonpositive_threshold(spark):
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.ngram_jaccard_pairs(spark, SF, threshold=0.0)
+
+
+def test_pairs_cache_invalidates_on_input_rewrite(spark, tmp_path):
+    """Review regression: rewriting the input IN-SESSION must not serve
+    memoized pairs from the old corpus (keys carry a content sig)."""
+    d = str(tmp_path / "mut")
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    base.limit(50).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    first = dedup.minhash_lsh_pairs(spark, d).count()
+    # rewrite with a corpus that contains planted exact duplicates
+    dup = base.limit(10)
+    two = dup.unionByName(
+        dup.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    two.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    second = dedup.minhash_lsh_pairs(spark, d).count()
+    assert second >= 10  # the 10 planted dup pairs — not the stale set
+    assert second != first or first >= 10

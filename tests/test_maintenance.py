@@ -399,3 +399,88 @@ def test_clear_all_data_leaves_lineage_marker(spark, populated):
     assert job.read_output().count() == n0
     # clearing did not erase the lastCleared lineage
     assert last_cleared(out)["rows_cleared"] == n0
+
+
+def test_repair_crash_window_self_heals(spark, sf_small, tmp_path):
+    """Review regression: a crash between the repair swap's two renames
+    leaves only the .bak dir — the next call must restore it before
+    reading instead of crashing on a missing table."""
+    import os
+    import shutil
+
+    from v2_ocr_spark.pipeline.maintenance import repair_status_violations
+
+    conv_dir = str(tmp_path / "conv")
+    base = spark.read.parquet(f"{sf_small}/conversations.parquet")
+    base.write.mode("overwrite").parquet(conv_dir)
+    n = spark.read.parquet(conv_dir).count()
+    # simulate the window: table renamed to .bak, new dir never landed
+    os.rename(conv_dir, conv_dir + ".bak")
+    assert not os.path.exists(conv_dir)
+    res = repair_status_violations(spark, conv_dir)
+    assert os.path.exists(conv_dir)
+    assert spark.read.parquet(conv_dir).count() == n
+    assert res == {"repaired": 0, "rewritten": False}
+    # the other leftover: stale .bak NEXT TO a live dir is dropped
+    shutil.copytree(conv_dir, conv_dir + ".bak")
+    repair_status_violations(spark, conv_dir)
+    assert not os.path.exists(conv_dir + ".bak")
+
+
+def test_clear_all_refused_while_lease_held(spark, populated):
+    """Review regression: clear_all_data must not wipe a sink owned by
+    a live driver (it would resurrect partitions + falsify the audit
+    marker)."""
+    import pytest as _pytest
+
+    from v2_ocr_spark.pipeline.maintenance import clear_all_data
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    out, job = populated
+    other = SinkLease(out, owner="live-driver").acquire()
+    try:
+        with _pytest.raises(LeaseHeld):
+            clear_all_data(spark, out)
+        assert job.read_output().count() > 0  # nothing wiped
+    finally:
+        other.release()
+    marker = clear_all_data(spark, out)
+    assert marker["rows_cleared"] > 0
+
+
+def test_stale_lease_takeover_single_winner(tmp_path):
+    """Review regression: two drivers racing a STALE lease must not
+    both win — the O_EXCL takeover marker admits exactly one."""
+    import json
+    import os
+
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    d = str(tmp_path / "race")
+    os.makedirs(d)
+    with open(os.path.join(d, "_lease.json"), "w") as f:
+        json.dump({"owner": "dead", "heartbeat": 0.0}, f)
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    # a rival (A) has claimed the takeover marker for this exact stale
+    # lease content but not yet swapped the lease in — the window where
+    # the old write-then-confirm let BOTH drivers 'win'
+    marker = (
+        os.path.join(d, "_lease.json")
+        + ".takeover."
+        + _uuid.uuid5(_uuid.NAMESPACE_URL, "dead@0.0").hex[:16]
+    )
+    with open(marker, "w"):
+        pass
+    b = SinkLease(d, owner="B")
+    with _pytest.raises(LeaseHeld, match="already claimed"):
+        b.acquire()
+    # a marker from a CRASHED winner expires after ttl: age it, then
+    # the next-but-one attempt succeeds
+    os.utime(marker, (0, 0))
+    with _pytest.raises(LeaseHeld):  # this attempt clears the marker
+        b.acquire()
+    b.acquire()
+    b.release()

@@ -1,6 +1,6 @@
 """Large-corpus stress probe for the dedup/ANN scale paths.
 
-Replicates the sf0.1 documents (5k) and embeddings (5k) tables 20x
+Replicates the sf0.1 documents (5k) and embeddings (2k) tables 20x
 with distinct ids — every original row gains 19 exact duplicates, the
 WORST case for near-dup machinery (maximal bucket collisions, maximal
 candidate volume: ~5k clusters x C(20,2) = ~0.95M true pairs) — and
@@ -9,7 +9,7 @@ runs the production paths end to end:
   * minhash_lsh_pairs on 100k docs (signature pass, banded bucket
     join with the max_bucket guardrail, chunked pair fan-out,
     candidate-proportional exact verify)
-  * srp_lsh_topk on 100k vectors (BLAS signature pass, bucket
+  * srp_lsh_topk on 40k vectors (BLAS signature pass, bucket
     equi-join, exact re-rank)
 
 Prints one JSON line; results are recorded in BASELINE.md. This is a
@@ -51,6 +51,7 @@ def main() -> None:
     big_docs.write.mode("overwrite").parquet(f"{WORK}/documents.parquet")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
     big_emb = emb.crossJoin(reps).select(
         (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
         "embedding", "label",
@@ -69,7 +70,7 @@ def main() -> None:
     expected_min = int(0.9 * n_docs * REPL * (REPL - 1) / 2)
     pairs.unpersist()
 
-    # ---- ANN stress: 100k vectors, exact-duplicate neighbors ----
+    # ---- ANN stress: replicated vectors, exact-duplicate neighbors ----
     t0 = time.perf_counter()
     topk = similarity.srp_lsh_topk(spark, WORK, k=5, n_queries=10)
     n_topk = topk.count()
@@ -83,6 +84,7 @@ def main() -> None:
         "dedup_pairs_expected_min": expected_min,
         "dedup_recall_ok": n_pairs >= expected_min,
         "dedup_sec": round(t_dedup, 1),
+        "n_vectors": n_emb * REPL,
         "ann_rows": n_topk,
         "ann_sec": round(t_ann, 1),
     }))

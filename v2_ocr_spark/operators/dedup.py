@@ -44,6 +44,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def input_signature(path: str) -> tuple:
+    """Cheap content fingerprint of a parquet file/dir — (file count,
+    total bytes, max mtime_ns). Memo keys include it so an IN-SESSION
+    rewrite of the input (regenerated corpus, a notebook iterating on a
+    dataset, a probe reusing its work dir) invalidates cached pair/
+    cluster/extraction sets instead of silently serving stale results."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return (1, st.st_size, st.st_mtime_ns)
+    n = total = newest = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            try:
+                st = os.stat(os.path.join(root, fn))
+            except FileNotFoundError:
+                continue
+            n += 1
+            total += st.st_size
+            newest = max(newest, st.st_mtime_ns)
+    return (n, total, newest)
+
+
 def word_shingles(text_col, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles, JVM-side."""
     toks = F.split(text_col, " ")
@@ -298,8 +322,9 @@ def minhash_lsh_pairs(
     instead of re-running the signature pass. clear_pairs_cache()
     releases the storage; pass use_cache=False to force a rebuild."""
     key = (
-        spark.sparkContext.applicationId, sf_dir, threshold,
-        num_hashes, rows_per_band, shingle_n,
+        spark.sparkContext.applicationId, sf_dir,
+        input_signature(f"{sf_dir}/documents.parquet"),
+        threshold, num_hashes, rows_per_band, shingle_n,
     )
     if use_cache and key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
@@ -399,15 +424,28 @@ def ngram_jaccard_pairs_for(
     assembled conversation texts for conversation-level near-dup. The
     id column may be any orderable type (doc_a < doc_b dedups the
     unordered pair either way)."""
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the inverted "
+            "index only surfaces pairs sharing at least one shingle, "
+            "which equals the all-pairs definition ONLY above zero — "
+            "a full pairwise table (J >= 0, including disjoint pairs) "
+            "is O(n^2) by definition and not this operator's contract"
+        )
     docs = docs.select(F.col(id_col).alias("doc_id"), "text")
     # lazy (no persist): a gate query's 3 passes re-tokenize cheaply;
     # production callers persist sh when the corpus pass is expensive
     sh = shingle_explode(docs, shingle_n)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
+        # broadcast the OVER-cap set (tiny by construction — only
+        # boilerplate mega-df shingles exceed the cap) and anti-join;
+        # broadcasting the keep set would ship nearly every distinct
+        # shingle in the corpus to every task, defeating the guard at
+        # exactly the scale it exists for
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        keep = df_counts.where(F.col("df") <= max_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
+        drop = df_counts.where(F.col("df") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
     inter = (
         sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
@@ -421,9 +459,12 @@ def ngram_jaccard_pairs_for(
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     )
+    # no broadcast hint on the per-doc count tables: one row per doc
+    # means they scale with the corpus (10^12 rows is not a broadcast);
+    # AQE picks broadcast on its own when the corpus is actually small
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -577,8 +618,9 @@ def duplicate_clusters(
             # identical closure, and the propagation loop (not the
             # cached pairs) is their dominant cost
             cache_key = (
-                spark.sparkContext.applicationId, sf_dir, threshold,
-                shingle_n,
+                spark.sparkContext.applicationId, sf_dir,
+                input_signature(f"{sf_dir}/documents.parquet"),
+                threshold, shingle_n,
             )
             if cache_key in _CLUSTERS_CACHE:
                 return _CLUSTERS_CACHE[cache_key]
@@ -642,9 +684,12 @@ def duplicate_clusters(
     edges.unpersist()
     result = labels.select("doc_id", "cluster_id").orderBy("doc_id")
     if cache_key is not None:
-        # labels is already persisted by the loop; keep the final
-        # projection cached for reuse (released by clear_pairs_cache)
+        # cache the final projection, then RELEASE the loop's last
+        # labels cache — otherwise every cache entry pins two copies
+        # of the label table and clear_pairs_cache (which only sees
+        # `result`) could never honor its release-everything contract
         result = result.persist()
         result.count()
+        labels.unpersist()
         _CLUSTERS_CACHE[cache_key] = result
     return result

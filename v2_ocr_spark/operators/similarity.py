@@ -75,23 +75,34 @@ def _dot_pd(a, b):
 @pandas_udf(ArrayType(DoubleType()))
 def _unit_pd(a):
     """Vectorized L2 normalization (matrix norm + one divide per
-    batch). Zero vectors propagate NaN components, matching 0/0.0 in
-    the Column formulation — downstream threshold comparisons drop
-    them on both engines."""
+    batch). ZERO vectors normalize to NULL, and with_unit_norm drops
+    them: a zero vector has no direction, so it can never be a cosine
+    neighbor. (Letting NaN through instead would be a correctness trap
+    — in Spark, NaN compares GREATER than every double, so a NaN
+    cosine would rank first in every top-k window and pass every
+    `cosine >= threshold` filter.)"""
     import numpy as np
     import pandas as pd
 
     if not len(a):
         return pd.Series([], dtype=object)
     m = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
     with np.errstate(divide="ignore", invalid="ignore"):
-        u = m / np.linalg.norm(m, axis=1, keepdims=True)
-    return pd.Series(list(u), index=a.index)
+        u = m / norms
+    out = list(u)
+    for i in np.nonzero(norms.reshape(-1) == 0.0)[0]:
+        out[i] = None
+    return pd.Series(out, index=a.index)
 
 
 def with_unit_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Pre-normalize once so cosine becomes a plain dot product."""
-    return df.withColumn("unit", _unit_pd(F.col(col)))
+    """Pre-normalize once so cosine becomes a plain dot product.
+    Zero vectors (directionless — NULL unit) are dropped here, before
+    any scoring path can rank them."""
+    return df.withColumn("unit", _unit_pd(F.col(col))).where(
+        F.col("unit").isNotNull()
+    )
 
 
 def brute_force_topk(
@@ -181,6 +192,9 @@ def cosine_near_dup_pairs(
             sims = bu @ all_unit.T  # (block, n) — one BLAS call
             bids = b["vec_id"].to_numpy()
             with np.errstate(invalid="ignore"):
+                # zero vectors yield NaN rows/cols; numpy NaN >= t is
+                # False, so they are excluded here (same no-direction
+                # policy as with_unit_norm's NULL-unit drop)
                 keep = (sims >= threshold) & (
                     bids[:, None] < all_ids[None, :]
                 )

@@ -240,7 +240,22 @@ def clear_all_data(spark: SparkSession, out_dir: str) -> dict:
     not under data/) and carries what was dropped: snapshot ids, row
     counts, partition count — enough for an auditor to see THAT data
     existed and when it was removed, without retaining the data. On
-    Iceberg: DROP TABLE ... PURGE + a lineage row in an ops table."""
+    Iceberg: DROP TABLE ... PURGE + a lineage row in an ops table.
+
+    Takes the sink ownership lease first: wiping a sink under a LIVE
+    driver would let its promote loop resurrect partitions into the
+    'cleared' layout and falsify the lastCleared audit row — with an
+    active owner this raises LeaseHeld instead."""
+    from v2_ocr_spark.pipeline.sink import SinkLease
+
+    lease = SinkLease(out_dir).acquire()
+    try:
+        return _clear_all_owned(out_dir)
+    finally:
+        lease.release()
+
+
+def _clear_all_owned(out_dir: str) -> dict:
     import json as _json
     import os as _os
     import shutil
@@ -305,6 +320,19 @@ def repair_status_violations(
 
     from v2_ocr_spark.operators.relational import repair_status_invariant
 
+    backup = conversations_dir + ".bak"
+    # self-heal the two-rename crash window FIRST: the swap below is
+    # two renames, and a crash between them leaves no live dir — only
+    # the fixed-name backup. Recovering here (and in any later call)
+    # means the table is never unreadable for longer than one repair
+    # attempt. A backup lying NEXT TO a live dir is the other crash
+    # leftover (after the second rename, before cleanup) — the live
+    # dir is newer, so the backup is safe to drop.
+    if not os.path.exists(conversations_dir) and os.path.exists(backup):
+        os.rename(backup, conversations_dir)
+    elif os.path.exists(backup):
+        shutil.rmtree(backup)
+
     conv = spark.read.parquet(conversations_dir)
     violating = (F.col("status") == "queued") & F.col("error").isNotNull()
     n = conv.where(violating).count()
@@ -315,7 +343,6 @@ def repair_status_violations(
     )
     staging = f"{conversations_dir}.staging-{uuid.uuid4().hex[:8]}"
     repaired.write.mode("overwrite").parquet(staging)
-    backup = f"{conversations_dir}.bak-{uuid.uuid4().hex[:8]}"
     os.rename(conversations_dir, backup)
     os.rename(staging, conversations_dir)
     shutil.rmtree(backup)

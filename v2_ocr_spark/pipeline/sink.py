@@ -102,8 +102,12 @@ class SinkLease:
     (atomic on POSIX), carrying owner id + heartbeat. A second driver's
     acquire() fails with LeaseHeld while the heartbeat is fresh; a
     lease whose heartbeat is older than ttl_seconds is presumed crashed
-    and may be taken over (acquire re-reads after the swap to confirm
-    it won any takeover race).
+    and may be taken over. The takeover itself is serialized through an
+    O_EXCL marker named deterministically from the stale lease's exact
+    content — every racer computes the same name, so the filesystem
+    grants it to exactly one (a write-then-confirm would be
+    check-then-act: two racers whose write/read pairs don't interleave
+    both 'confirm').
 
     Honest scope: rename-based CAS is solid on local/POSIX filesystems
     and sufficient for the one-driver-per-sink contract; on a real
@@ -147,15 +151,45 @@ class SinkLease:
                         f"{cur.get('owner')} (heartbeat {age:.0f}s ago, "
                         f"ttl {self.ttl:.0f}s)"
                     )
-            # stale (or our own) lease: take over, then CONFIRM we won —
-            # two simultaneous takeovers both swap, last writer wins
-            self._write()
-            cur = self._read()
-            if cur is None or cur.get("owner") != self.owner:
-                raise LeaseHeld(
-                    f"lost takeover race for {self.path} to "
-                    f"{cur.get('owner') if cur else '<missing>'}"
+                # STALE lease: claim the takeover through an O_EXCL
+                # marker whose name is derived from the exact stale
+                # content — every racer computes the same name, the
+                # filesystem hands the create to exactly one of them
+                # (a bare write-then-confirm is check-then-act: two
+                # racers whose write/read pairs don't interleave both
+                # 'confirm'). A marker left by a crashed winner expires
+                # after ttl and is cleared for the next attempt.
+                tag = f"{cur.get('owner')}@{cur.get('heartbeat')}"
+                marker = (
+                    self.path
+                    + ".takeover."
+                    + uuid.uuid5(uuid.NAMESPACE_URL, tag).hex[:16]
                 )
+                try:
+                    mfd = os.open(
+                        marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                except FileExistsError:
+                    if time.time() - os.path.getmtime(marker) >= self.ttl:
+                        try:
+                            os.remove(marker)  # crashed winner; retry next
+                        except FileNotFoundError:
+                            pass
+                    raise LeaseHeld(
+                        f"takeover of stale lease at {self.path} already "
+                        "claimed by another driver"
+                    )
+                os.close(mfd)
+                try:
+                    self._write()
+                finally:
+                    try:
+                        os.remove(marker)
+                    except FileNotFoundError:
+                        pass
+                return self
+            # our own lease (reentrant) — refresh it
+            self._write()
             return self
         else:
             with os.fdopen(fd, "w", encoding="utf-8") as f:
