@@ -488,3 +488,25 @@ def test_pairs_cache_invalidates_on_input_rewrite(spark, tmp_path):
     second = dedup.minhash_lsh_pairs(spark, d).count()
     assert second >= 10  # the 10 planted dup pairs — not the stale set
     assert second != first or first >= 10
+
+
+def test_blas_dot_equals_column_formulation(spark):
+    """The Arrow/BLAS dot product and the engine-portable Column
+    formulation must agree to double precision (the docstring's pin)."""
+    emb = similarity.with_unit_norm(similarity._emb(spark, SF))
+    a = emb.limit(50).select(
+        F.col("vec_id").alias("ia"), F.col("unit").alias("ua")
+    )
+    b = emb.limit(50).select(
+        F.col("vec_id").alias("ib"), F.col("unit").alias("ub")
+    )
+    both = (
+        a.join(b, F.col("ia") == F.col("ib"))
+        .select(
+            similarity._dot(F.col("ua"), F.col("ub")).alias("col_dot"),
+            similarity._dot_pd(F.col("ua"), F.col("ub")).alias("blas_dot"),
+        )
+        .toPandas()
+    )
+    assert len(both) == 50
+    assert (both.col_dot - both.blas_dot).abs().max() < 1e-12
