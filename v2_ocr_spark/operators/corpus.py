@@ -156,6 +156,71 @@ def corpus_filter_stats(spark, sf_dir, **filter_kwargs) -> DataFrame:
     )
 
 
+def run_clean_pipeline(
+    spark, sf_dir: str, out_dir: str, budget: int = 2048, **filter_kwargs
+) -> dict:
+    """The composed END-TO-END cleaning job: filter (quality + lang +
+    length + near-dup) -> keep survivors -> pack into token-budget
+    windows -> write parquet + a lineage summary. One call takes a raw
+    documents table to training-ready packed shards — the pipeline a
+    user of the individual operators would otherwise hand-wire.
+
+    Writes:
+      out_dir/clean/      kept docs with their filter columns
+      out_dir/packed/     (source, doc_id, n_tokens, start_token, bin)
+      out_dir/summary.json  docs/tokens per outcome + kept bins
+
+    Scale notes: every stage is the audited operator (nothing new
+    here); the only materialization between stages is the keep
+    decision, persisted once and reused by the pack join."""
+    import json
+    import os
+
+    decisions = corpus_filter(spark, sf_dir, **filter_kwargs).persist()
+    try:
+        kept = decisions.where(F.col("keep")).select(
+            "doc_id", "pred_lang", "quality"
+        )
+        docs = _docs(spark, sf_dir)
+        clean = docs.join(kept, "doc_id")
+        clean.write.mode("overwrite").parquet(f"{out_dir}/clean")
+
+        packed = token_pack(spark, sf_dir, budget=budget).join(
+            kept.select("doc_id"), "doc_id"
+        )
+        packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+
+        # stats straight off the persisted decisions — calling
+        # corpus_filter_stats here would recompute the whole filter
+        from v2_ocr_spark.operators.textstats import token_counts
+
+        toks = token_counts(spark, sf_dir).select("doc_id", "bpe_tokens")
+        stats = {
+            r["reason"]: {"n_docs": r["n_docs"], "bpe_tokens": r["bpe_tokens"]}
+            for r in decisions.join(toks, "doc_id")
+            .groupBy("reason")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            )
+            .collect()
+        }
+        n_bins = packed.select("source", "bin").distinct().count()
+        summary = {
+            "outcomes": stats,
+            "kept_docs": int(stats.get("kept", {}).get("n_docs", 0)),
+            "kept_bins": int(n_bins),
+            "budget": budget,
+        }
+        tmp = f"{out_dir}/summary.json.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(summary, f)
+        os.replace(tmp, f"{out_dir}/summary.json")
+        return summary
+    finally:
+        decisions.unpersist()
+
+
 def cross_source_overlap(spark, sf_dir, shingle_n: int = 5) -> DataFrame:
     """Contamination check: for every pair of corpus sources, the count
     of distinct word n-gram shingles they share — the shape of a
