@@ -492,23 +492,25 @@ def test_pairs_cache_invalidates_on_input_rewrite(spark, tmp_path):
 
 def test_blas_dot_equals_column_formulation(spark):
     """The Arrow/BLAS dot product and the engine-portable Column
-    formulation must agree to double precision (the docstring's pin)."""
-    emb = similarity.with_unit_norm(similarity._emb(spark, SF))
-    a = emb.limit(50).select(
-        F.col("vec_id").alias("ia"), F.col("unit").alias("ua")
+    formulation must agree to double precision — over DISTINCT vector
+    pairs (a self-join on equal ids would only ever compute ||u||^2
+    ~ 1.0 and pin nothing), selected deterministically (limit without
+    an order is plan-dependent)."""
+    emb = similarity.with_unit_norm(similarity._emb(spark, SF)).where(
+        F.col("vec_id") < 20
     )
-    b = emb.limit(50).select(
-        F.col("vec_id").alias("ib"), F.col("unit").alias("ub")
-    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("unit").alias("ua"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("unit").alias("ub"))
     both = (
-        a.join(b, F.col("ia") == F.col("ib"))
+        a.join(b, F.col("ia") < F.col("ib"))
         .select(
             similarity._dot(F.col("ua"), F.col("ub")).alias("col_dot"),
             similarity._dot_pd(F.col("ua"), F.col("ub")).alias("blas_dot"),
         )
         .toPandas()
     )
-    assert len(both) == 50
+    assert len(both) == 190  # C(20, 2) distinct pairs
+    assert both.col_dot.abs().max() < 1.0  # genuinely distinct vectors
     assert (both.col_dot - both.blas_dot).abs().max() < 1e-12
 
 
@@ -534,5 +536,17 @@ def test_run_clean_pipeline_end_to_end(spark, tmp_path):
     assert packed.select("source", "bin").distinct().count() == (
         summary["kept_bins"]
     )
+    # pack-after-filter: offsets are exclusive cumsums over the KEPT
+    # docs only — no gaps where dropped docs used to sit, so windows
+    # are dense (review regression: packing the raw corpus then
+    # filtering left every bin underfilled)
+    pdfp = packed.toPandas()
+    for _, g in pdfp.groupby("source"):
+        g = g.sort_values("doc_id")
+        run = 0
+        for _, r in g.iterrows():
+            assert r.start_token == run
+            assert r.bin == run // 500
+            run += r.n_tokens
     disk = json.load(open(f"{out}/summary.json"))
     assert disk == summary

@@ -52,17 +52,26 @@ def vocabulary_topk(spark, sf_dir, k: int = 100) -> DataFrame:
 
 
 def token_pack(spark, sf_dir, budget: int = 2048) -> DataFrame:
-    """Deterministic sequence packing: concatenate each SOURCE's docs in
-    doc_id order into a running token stream and assign every doc the
-    context window (bin) its first token lands in — the standard
-    pretraining packing job, made reproducible (no RNG, no greedy
-    first-fit whose result depends on visit order).
+    """Deterministic sequence packing over the WHOLE documents table
+    (the oracled query surface); see token_pack_for."""
+    return token_pack_for(_docs(spark, sf_dir), budget)
+
+
+def token_pack_for(docs: DataFrame, budget: int = 2048) -> DataFrame:
+    """Deterministic sequence packing over any (doc_id, source, text)
+    table: concatenate each SOURCE's docs in doc_id order into a
+    running token stream and assign every doc the context window (bin)
+    its first token lands in — the standard pretraining packing job,
+    made reproducible (no RNG, no greedy first-fit whose result depends
+    on visit order). Pass the ALREADY-FILTERED survivors when packing
+    for training: packing before filtering would leave every window
+    underfilled by the tokens of later-dropped docs.
 
     Scale shape: the cumulative sum windows PARTITION BY source — the
     shard unit a real packing job uses — so no single-partition window
     ever sees the whole corpus; each shard's stream is independent and
     the window is one shuffle on the shard key."""
-    d = _docs(spark, sf_dir).select(
+    d = docs.select(
         "doc_id",
         "source",
         F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("n_tokens"),
@@ -141,12 +150,21 @@ def corpus_filter_stats(spark, sf_dir, **filter_kwargs) -> DataFrame:
     rule costs. One rollup over corpus_filter joined to the token
     counts (map-side partial aggregation; the reason key has 5
     values, so the final shuffle is trivial)."""
+    return _filter_stats_for(
+        spark, sf_dir, corpus_filter(spark, sf_dir, **filter_kwargs)
+    )
+
+
+def _filter_stats_for(spark, sf_dir, decisions: DataFrame) -> DataFrame:
+    """Per-reason rollup over an EXISTING decisions table — the shared
+    body of corpus_filter_stats and run_clean_pipeline's summary (one
+    definition, so the gate query and the pipeline lineage can't
+    drift)."""
     from v2_ocr_spark.operators.textstats import token_counts
 
-    f = corpus_filter(spark, sf_dir, **filter_kwargs)
     toks = token_counts(spark, sf_dir).select("doc_id", "bpe_tokens")
     return (
-        f.join(toks, "doc_id")
+        decisions.join(toks, "doc_id")
         .groupBy("reason")
         .agg(
             F.count("*").alias("n_docs"),
@@ -172,7 +190,11 @@ def run_clean_pipeline(
 
     Scale notes: every stage is the audited operator (nothing new
     here); the only materialization between stages is the keep
-    decision, persisted once and reused by the pack join."""
+    decision, persisted once and reused by the pack join. out_dir must
+    be a DRIVER-LOCAL path: the parquet shards go through Hadoop
+    writers (any scheme would work) but summary.json is written with
+    plain file IO — on an object store, collect the returned summary
+    and persist it yourself."""
     import json
     import os
 
@@ -185,27 +207,27 @@ def run_clean_pipeline(
         clean = docs.join(kept, "doc_id")
         clean.write.mode("overwrite").parquet(f"{out_dir}/clean")
 
-        packed = token_pack(spark, sf_dir, budget=budget).join(
-            kept.select("doc_id"), "doc_id"
-        )
+        # pack the SURVIVORS, not the raw corpus: packing before the
+        # filter would assign offsets/bins that include later-dropped
+        # docs, leaving every training window underfilled
+        survivors = docs.join(kept.select("doc_id"), "doc_id")
+        packed = token_pack_for(survivors, budget=budget)
         packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
 
         # stats straight off the persisted decisions — calling
         # corpus_filter_stats here would recompute the whole filter
-        from v2_ocr_spark.operators.textstats import token_counts
-
-        toks = token_counts(spark, sf_dir).select("doc_id", "bpe_tokens")
         stats = {
             r["reason"]: {"n_docs": r["n_docs"], "bpe_tokens": r["bpe_tokens"]}
-            for r in decisions.join(toks, "doc_id")
-            .groupBy("reason")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
-            )
-            .collect()
+            for r in _filter_stats_for(spark, sf_dir, decisions).collect()
         }
-        n_bins = packed.select("source", "bin").distinct().count()
+        # count bins from the files just written, not by re-running the
+        # pack plan (window + scan + join) a second time
+        n_bins = (
+            spark.read.parquet(f"{out_dir}/packed")
+            .select("source", "bin")
+            .distinct()
+            .count()
+        )
         summary = {
             "outcomes": stats,
             "kept_docs": int(stats.get("kept", {}).get("n_docs", 0)),
