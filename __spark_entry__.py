@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
         ),
         "repetition_stats": textstats.repetition_stats,
+        "dedup_lines": textstats.dedup_lines,
         "vocabulary_topk": corpus.vocabulary_topk,
         "token_pack": corpus.token_pack,
         "hash_sample": textstats.hash_sample,
@@ -824,6 +825,19 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_frac FROM documents"
         ),
         "hash_sample": _hash_sample_sql(),
+        "dedup_lines": (
+            # first-occurrence order via a per-(doc, line) window —
+            # DuckDB's list_distinct does not preserve element order
+            "WITH l AS (SELECT doc_id, unnest(list_transform("
+            "string_split(text, chr(10)), "
+            "(x, i) -> struct_pack(line := x, i := i))) AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "f AS (SELECT doc_id, t.line AS line, t.i AS i, "
+            "row_number() OVER (PARTITION BY doc_id, t.line "
+            "ORDER BY t.i) AS rk FROM l) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY i) "
+            "AS dedup_text FROM f WHERE rk = 1 GROUP BY doc_id"
+        ),
         "vocabulary_topk": (
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(regexp_extract_all(lower(text), "

@@ -550,3 +550,19 @@ def test_run_clean_pipeline_end_to_end(spark, tmp_path):
             run += r.n_tokens
     disk = json.load(open(f"{out}/summary.json"))
     assert disk == summary
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark, tmp_path):
+    from v2_ocr_spark.operators import textstats
+
+    d = str(tmp_path / "lines")
+    spark.createDataFrame(
+        [
+            (1, "b\na\nb\nc\na", "en", "s", 9),
+            (2, "solo", "en", "s", 4),
+            (3, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r.dedup_text for r in textstats.dedup_lines(spark, d).collect()}
+    assert got == {1: "b\na\nc", 2: "solo"}  # order kept; NULL doc excluded

@@ -267,6 +267,23 @@ def repetition_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def dedup_lines(spark, sf_dir) -> DataFrame:
+    """The TRANSFORM counterpart of repetition_stats: remove repeated
+    lines within each document, keeping first occurrences in order —
+    the Gopher-style boilerplate/listing scrub applied, not just
+    measured. Native array expressions (array_distinct preserves
+    first-occurrence order); NULL-text docs are excluded (nothing to
+    scrub), matching the oracle. DuckDB's list_distinct does NOT
+    preserve order, so the twin reconstructs first-occurrence via a
+    per-(doc, line) window instead."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    lines = F.split(F.col("text"), "\n")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_distinct(lines), "\n").alias("dedup_text"),
+    )
+
+
 def hash_sample_cutoff(rate: float) -> int:
     """The md5-prefix bucket cutoff for a given rate — ONE derivation
     shared by the Spark operator and its DuckDB oracle SQL so the two
