@@ -265,12 +265,120 @@ def test_token_pack_bins_respect_budget_and_order(spark):
             run += r.n_tokens
 
 
+def test_token_pack_two_phase_equals_single_window(spark):
+    """The distributed prefix sum must be byte-identical to the naive
+    single-window formulation, at every shard count (boundaries move,
+    results don't)."""
+    from pyspark.sql.window import Window
+
+    from v2_ocr_spark.operators import corpus
+    from v2_ocr_spark.operators.textstats import BPE_ISH
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        docs.select(
+            "source", "doc_id",
+            F.regexp_count("text", F.lit(BPE_ISH)).alias("n_tokens"),
+        )
+        .select(
+            "source", "doc_id", "n_tokens",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .cast("bigint").alias("start_token"),
+        )
+        .select(
+            "source", "doc_id", "n_tokens", "start_token",
+            F.floor(F.col("start_token") / 100).cast("int").alias("bin"),
+        )
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for shards in (1, 7, 32):
+        got = (
+            corpus.token_pack_for(docs, budget=100, shards=shards)
+            .toPandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(naive), f"shards={shards}"
+
+
 def test_cross_source_overlap_counts_distinct_shared(spark):
     from v2_ocr_spark.operators import corpus
 
     out = corpus.cross_source_overlap(spark, SF).toPandas()
     assert (out.source_a < out.source_b).all()  # one row per unordered pair
     assert (out.shared_shingles > 0).all()
+
+
+def test_cross_source_overlap_max_df_drops_boilerplate(spark, tmp_path):
+    """A viral shingle present in every doc must be excludable: with
+    max_df set below its document frequency the pair counts keep only
+    the informative (sub-cap) shared shingles."""
+    from v2_ocr_spark.operators import corpus
+
+    d = str(tmp_path / "docs")
+    boiler = "click here to subscribe now"   # 5-gram in every doc
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon", "x", "src_a", 50),
+        (2, f"{boiler} alpha beta gamma delta epsilon", "x", "src_b", 50),
+        (3, f"{boiler} zeta eta theta iota kappa", "x", "src_b", 50),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    exact = {
+        (r.source_a, r.source_b): r.shared_shingles
+        for r in corpus.cross_source_overlap(spark, d).collect()
+    }
+    capped = {
+        (r.source_a, r.source_b): r.shared_shingles
+        for r in corpus.cross_source_overlap(spark, d, max_df=2).collect()
+    }
+    # the boilerplate 5-gram (df=3) is in every doc: it is the only
+    # shingle src_a shares with doc 3's half of src_b; dropping it
+    # must strictly reduce the count, never invent pairs
+    assert exact[("src_a", "src_b")] > capped[("src_a", "src_b")]
+    assert set(capped) <= set(exact)
+
+
+def test_ngram_jaccard_max_df_is_symmetric(spark, tmp_path):
+    """max_df must remove capped shingles from numerator AND
+    denominator: two docs identical except for one viral shingle they
+    both contain still score J=1.0 over the reduced universe (the
+    round-2 formulation kept the capped shingle in the union and
+    reported J<1)."""
+    from v2_ocr_spark.operators import dedup
+
+    d = str(tmp_path / "docs")
+    viral = "all rights reserved"
+    rows = [(i, f"doc {i} unique words {viral}", "x", "s", 30)
+            for i in range(1, 5)]
+    # docs 1 and 2 share their tail; make them true near-dups
+    rows[0] = (1, f"shared body of text here {viral}", "x", "s", 30)
+    rows[1] = (2, f"shared body of text here {viral}", "x", "s", 30)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark, d, threshold=0.5, max_df=3
+        ).collect()
+    }
+    # every trigram containing the viral tail has df<=2 except the
+    # viral trigram itself (df=4, capped); (1,2) remain identical over
+    # the reduced universe
+    assert got.get((1, 2)) == 1.0
 
 
 def test_vocabulary_topk_order(spark):

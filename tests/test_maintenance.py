@@ -484,3 +484,74 @@ def test_stale_lease_takeover_single_winner(tmp_path):
         b.acquire()
     b.acquire()
     b.release()
+
+
+def test_lease_unreadable_file_presumed_held(tmp_path):
+    """ADVICE regression: an EMPTY lease file (a winner's O_EXCL create
+    whose json hasn't landed, or corruption) must read as HELD — the
+    round-2 code took the reentrant branch and silently stole it."""
+    import os
+
+    import pytest as _pytest
+
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    d = str(tmp_path / "steal")
+    os.makedirs(d)
+    with open(os.path.join(d, "_lease.json"), "w"):
+        pass  # exists, zero bytes — json.load fails
+    with _pytest.raises(LeaseHeld, match="unreadable"):
+        SinkLease(d, owner="thief").acquire()
+    # the file was NOT clobbered by the failed acquire
+    assert os.path.getsize(os.path.join(d, "_lease.json")) == 0
+
+
+def test_lease_heartbeat_fenced_by_generation(tmp_path):
+    """ADVICE regression: a paused owner resuming after a ttl takeover
+    must get LeaseHeld from heartbeat(), never clobber the new owner's
+    lease (generation fence + flock'd read-decide-write)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    d = str(tmp_path / "fence")
+    os.makedirs(d)
+    a = SinkLease(d, owner="A", ttl_seconds=0.01).acquire()
+    # A pauses past ttl; B takes over (gen bumps above A's)
+    import time as _time
+
+    _time.sleep(0.05)
+    b = SinkLease(d, owner="B", ttl_seconds=0.01).acquire()
+    with _pytest.raises(LeaseHeld):
+        a.heartbeat()
+    # B's lease is intact after A's refused heartbeat
+    with open(os.path.join(d, "_lease.json")) as f:
+        cur = json.load(f)
+    assert cur["owner"] == "B"
+    assert cur["gen"] > a.gen
+    b.release()
+
+
+def test_repair_sweeps_stale_staging_dirs(spark, sf_small, tmp_path):
+    """ADVICE regression: a crash after the staging write but before
+    the first rename strands '<dir>.staging-<uuid>' table copies; the
+    next repair call must sweep them."""
+    import os
+    import shutil
+
+    from v2_ocr_spark.pipeline.maintenance import repair_status_violations
+
+    conv_dir = str(tmp_path / "conv")
+    base = spark.read.parquet(f"{sf_small}/conversations.parquet")
+    base.write.mode("overwrite").parquet(conv_dir)
+    shutil.copytree(conv_dir, conv_dir + ".staging-deadbeef")
+    shutil.copytree(conv_dir, conv_dir + ".staging-cafe0001")
+    res = repair_status_violations(spark, conv_dir)
+    assert res["repaired"] == 0
+    assert not os.path.exists(conv_dir + ".staging-deadbeef")
+    assert not os.path.exists(conv_dir + ".staging-cafe0001")
+    # live table untouched
+    assert spark.read.parquet(conv_dir).count() == base.count()

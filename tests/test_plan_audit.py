@@ -113,16 +113,35 @@ def test_ngram_jaccard_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_token_pack_window_is_partitioned_by_source(spark):
-    """Packing must never run a whole-corpus single-partition window —
-    the cumulative sum partitions by the shard key."""
+def test_token_pack_window_is_sub_sharded(spark):
+    """Packing must never serialize a source through one task: the
+    cumulative sum is two-phase — deterministic quantile shards drive
+    the local window (hashpartitioning on _shard), so parallelism
+    follows the shard count even with ONE source (the round-2
+    formulation's PARTITION BY source was one task per source)."""
     from v2_ocr_spark.operators import corpus
 
     p = plan(corpus.token_pack(spark, "/root/testdata/sf0.001"))
-    # an unpartitioned window would plan Exchange SinglePartition — the
-    # whole corpus through one task; the shard key must drive the hash
     assert "SinglePartition" not in p
-    assert "hashpartitioning(source" in p
+    # the local cumsum window is keyed by the shard, not source alone
+    assert "hashpartitioning(_shard" in p
+
+    # the guarantee the round-2 pin missed: one source, many tasks.
+    # source is built non-foldable — a literal would constant-fold out
+    # of the window spec and plan a (tiny, but assert-visible)
+    # SinglePartition for the offsets table
+    one_src = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 0, F.lit("only_source"))
+        .otherwise(F.lit("unreachable"))
+        .alias("source"),
+        F.concat(F.lit("tok "), F.col("id").cast("string")).alias("text"),
+    )
+    df1 = corpus.token_pack_for(one_src, budget=100, shards=8)
+    p1 = plan(df1)
+    assert "SinglePartition" not in p1
+    assert "hashpartitioning(_shard" in p1
+    assert df1.count() == 500  # no rows lost to the offsets join
 
 
 def test_vocabulary_topk_uses_take_ordered(spark):

@@ -57,7 +57,9 @@ def token_pack(spark, sf_dir, budget: int = 2048) -> DataFrame:
     return token_pack_for(_docs(spark, sf_dir), budget)
 
 
-def token_pack_for(docs: DataFrame, budget: int = 2048) -> DataFrame:
+def token_pack_for(
+    docs: DataFrame, budget: int = 2048, shards: int | None = None
+) -> DataFrame:
     """Deterministic sequence packing over any (doc_id, source, text)
     table: concatenate each SOURCE's docs in doc_id order into a
     running token stream and assign every doc the context window (bin)
@@ -67,30 +69,110 @@ def token_pack_for(docs: DataFrame, budget: int = 2048) -> DataFrame:
     for training: packing before filtering would leave every window
     underfilled by the tokens of later-dropped docs.
 
-    Scale shape: the cumulative sum windows PARTITION BY source — the
-    shard unit a real packing job uses — so no single-partition window
-    ever sees the whole corpus; each shard's stream is independent and
-    the window is one shuffle on the shard key."""
+    Scale shape — a TWO-PHASE distributed prefix sum (the same idiom as
+    chunked assembly), because a plain `PARTITION BY source` window is
+    one task per source and a handful-of-sources corpus (the common
+    case) would serialize 40 TB through single reducers:
+
+      1. shard each doc by doc_id against approxQuantile boundaries
+         (one narrow driver job; the boundaries become LITERALS, so the
+         shard label is deterministic and order-preserving — within a
+         source, shard p's docs all precede shard p+1's — and every
+         re-evaluation of the plan subtree agrees on it, which a
+         spark_partition_id()-after-repartitionByRange label would NOT:
+         range boundaries are re-sampled per physical subtree), and run
+         the cumulative sum per (shard, source) — every shard's window
+         is a small independent task;
+      2. aggregate one (shard, source, total) row per shard — bounded
+         by shards x sources, driver-tiny — take the exclusive running
+         total per source across shards (a window over that tiny
+         table), and broadcast-join the offsets back.
+
+    start_token = local running sum + shard offset, byte-identical to
+    the single-window formulation (pinned by test) with parallelism =
+    `shards` regardless of source cardinality. Non-numeric doc_id
+    falls back to the per-source window (quantile sharding needs an
+    arithmetic comparison); the corpus documents table is bigint-keyed,
+    which is the path every pipeline caller takes."""
+    spark = docs.sparkSession
+    if shards is None:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = docs.select(
         "doc_id",
         "source",
         F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
+    numeric = any(
+        t in dict(docs.dtypes)["doc_id"]
+        for t in ("int", "long", "short", "byte", "float", "double", "decimal")
+    )
+    bounds: list = []
+    if numeric and shards > 1:
+        bounds = docs.select("doc_id").approxQuantile(
+            "doc_id", [i / shards for i in range(1, shards)], 0.001
+        )
+    if bounds:
+        # ONE FLAT CaseWhen over literal boundaries (first match wins;
+        # NESTED when/otherwise chains explode exponentially under
+        # Catalyst's conditional rewrites — the CLAUDE.md CASE trap):
+        # monotone in doc_id, so all of shard p precedes shard p+1
+        # within a source. NULL doc_id sorts NULLS FIRST in the window
+        # — it lands in shard 0 up front (the comparisons would
+        # otherwise all be NULL and fall through to the LAST shard,
+        # breaking order preservation)
+        shard_col = F.when(F.col("doc_id").isNull(), F.lit(0))
+        for i, b in enumerate(bounds):
+            shard_col = shard_col.when(F.col("doc_id") <= F.lit(b), F.lit(i))
+        shard_col = shard_col.otherwise(F.lit(len(bounds)))
+    else:
+        shard_col = F.lit(0)
+    d = d.withColumn("_shard", shard_col)
+    w_local = (
+        Window.partitionBy("_shard", "source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
-        "start_token"
+    local = d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "_shard",
+        (F.sum("n_tokens").over(w_local) - F.col("n_tokens")).alias(
+            "_local_start"
+        ),
     )
-    out = d.select("source", "doc_id", "n_tokens", start)
+    # phase 2: per-shard totals (<= shards x sources rows), exclusive
+    # prefix per source across shards — the only per-source-serial
+    # step, over a table bounded by the shard count, not the corpus
+    totals = local.groupBy("_shard", "source").agg(
+        F.sum("n_tokens").alias("_shard_total")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        F.col("_shard").alias("_o_shard"),
+        F.col("source").alias("_o_source"),
+        F.coalesce(F.sum("_shard_total").over(w_off), F.lit(0)).alias(
+            "_offset"
+        ),
+    )
+    # null-safe on source: a NULL source is a group like any other in
+    # the window formulation, and a plain equi-join would drop it
+    out = local.join(
+        F.broadcast(offsets),
+        (F.col("_shard") == F.col("_o_shard"))
+        & F.col("source").eqNullSafe(F.col("_o_source")),
+    )
+    start = F.col("_local_start") + F.col("_offset")
     return out.select(
         "source",
         "doc_id",
         "n_tokens",
-        F.col("start_token").cast("bigint").alias("start_token"),
-        F.floor(F.col("start_token") / budget).cast("int").alias("bin"),
+        start.cast("bigint").alias("start_token"),
+        F.floor(start / budget).cast("int").alias("bin"),
     )
 
 
@@ -110,7 +192,11 @@ def corpus_filter(
 
     Scale shape: three narrow codegen projections joined on doc_id
     (broadcast-size here, co-partitioned hash joins at corpus scale)
-    plus the memoized LSH keeper list — nothing quadratic anywhere."""
+    plus the memoized LSH keeper list — nothing quadratic anywhere.
+    Output order is UNSPECIFIED: the decision table is consumed by
+    joins (run_clean_pipeline) where a whole-corpus range exchange for
+    ordering would be pure waste; the gate query adds orderBy at
+    registration for the oracle hash."""
     from v2_ocr_spark.operators.dedup import dedup_keep_list
     from v2_ocr_spark.operators.textstats import lang_id, quality_score
 
@@ -132,15 +218,12 @@ def corpus_filter(
         .when(~F.col("dedup_keep"), F.lit("near_duplicate"))
         .otherwise(F.lit("kept"))
     )
-    return (
-        j.select(
-            "doc_id",
-            "pred_lang",
-            "quality",
-            reason.alias("reason"),
-            (reason == "kept").alias("keep"),
-        )
-        .orderBy("doc_id")
+    return j.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
     )
 
 
@@ -209,8 +292,14 @@ def run_clean_pipeline(
 
         # pack the SURVIVORS, not the raw corpus: packing before the
         # filter would assign offsets/bins that include later-dropped
-        # docs, leaving every training window underfilled
-        survivors = docs.join(kept.select("doc_id"), "doc_id")
+        # docs, leaving every training window underfilled. Read them
+        # back from the clean/ files just written — a stage boundary:
+        # the pack plan references both its window branch and its
+        # shard-totals branch, and carrying the whole filter lineage
+        # (LSH pair join + stopword alternation regexes) into each
+        # branch makes the composed plan explode (measured: driver OOM
+        # just RENDERING the explain string at sf0.001)
+        survivors = spark.read.parquet(f"{out_dir}/clean")
         packed = token_pack_for(survivors, budget=budget)
         packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
 
@@ -243,7 +332,9 @@ def run_clean_pipeline(
         decisions.unpersist()
 
 
-def cross_source_overlap(spark, sf_dir, shingle_n: int = 5) -> DataFrame:
+def cross_source_overlap(
+    spark, sf_dir, shingle_n: int = 5, max_df: int | None = None
+) -> DataFrame:
     """Contamination check: for every pair of corpus sources, the count
     of distinct word n-gram shingles they share — the shape of a
     benchmark-decontamination pass (train side vs eval side keyed by a
@@ -252,13 +343,28 @@ def cross_source_overlap(spark, sf_dir, shingle_n: int = 5) -> DataFrame:
     Scale shape: distinct (source, shingle) projection, then a shingle
     equi-join between source groups — the same inverted-index idiom as
     ngram_jaccard_pairs, cost proportional to truly-shared content.
-    NULL-text docs contribute no shingles."""
+    NULL-text docs contribute no shingles.
+
+    Scale note (100 TB): one viral boilerplate shingle present in every
+    source costs |src_a docs| x |src_b docs| in the DOC-level index its
+    sibling ngram_jaccard uses; here the join is already collapsed to
+    DISTINCT (source, shingle), so the join side is bounded by
+    sources^2 per shingle — but the upstream distinct still shuffles
+    every occurrence. `max_df` drops shingles whose DOCUMENT frequency
+    exceeds the cap before the distinct (same broadcast-anti-join as
+    dedup's guard): counts then cover only sub-cap shingles — an
+    approximation that biases toward the informative shingles, which is
+    the right direction for decontamination (a shingle contaminating
+    everything identifies nothing). Default None stays exact."""
     from v2_ocr_spark.operators.dedup import shingle_explode
 
     docs = _docs(spark, sf_dir)
-    sh = shingle_explode(
-        docs.select("doc_id", "text"), shingle_n
-    ).join(docs.select("doc_id", "source"), "doc_id")
+    sh = shingle_explode(docs.select("doc_id", "text"), shingle_n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        drop = df_counts.where(F.col("df") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
+    sh = sh.join(docs.select("doc_id", "source"), "doc_id")
     src_sh = sh.select("source", "shingle").distinct()
     a = src_sh.select(F.col("source").alias("source_a"), "shingle")
     b = src_sh.select(F.col("source").alias("source_b"), "shingle")

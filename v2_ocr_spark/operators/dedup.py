@@ -405,10 +405,13 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5,
 
     Scale note (100 TB): a boilerplate shingle shared by millions of
     docs makes df^2 explode; `max_df` drops shingles with document
-    frequency above the cap from the join. That bounds skew but makes
-    intersection counts approximate for pairs relying on capped
-    shingles — the default (None) stays exact, which is this operator's
-    contract; use minhash_lsh_pairs as the tunable approximate path.
+    frequency above the cap from BOTH the intersection join and the
+    per-doc union counts — Jaccard is then exact over the reduced
+    shingle universe (a symmetric approximation of the full-universe
+    value, never the one-sided denominator inflation of filtering the
+    join alone). The default (None) stays exact, which is this
+    operator's contract; use minhash_lsh_pairs as the tunable
+    approximate path.
     """
     return ngram_jaccard_pairs_for(
         _docs(spark, sf_dir), threshold=threshold, shingle_n=shingle_n,
@@ -436,7 +439,6 @@ def ngram_jaccard_pairs_for(
     # lazy (no persist): a gate query's 3 passes re-tokenize cheaply;
     # production callers persist sh when the corpus pass is expensive
     sh = shingle_explode(docs, shingle_n)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         # broadcast the OVER-cap set (tiny by construction — only
         # boilerplate mega-df shingles exceed the cap) and anti-join;
@@ -446,6 +448,12 @@ def ngram_jaccard_pairs_for(
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         drop = df_counts.where(F.col("df") > max_df).select("shingle")
         sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
+    # per-doc counts from the POST-filter set: a capped shingle must
+    # leave both the intersection and the union, otherwise a shingle
+    # shared by both docs still inflates the denominator and Jaccard
+    # is biased downward near the threshold (symmetric approximation:
+    # J over the reduced shingle universe)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
@@ -480,24 +488,23 @@ def dedup_keep_list(
     training pipeline anti-joins against before tokenization. Reuses
     the memoized LSH pair set and the same label propagation as
     duplicate_clusters, so a gate/pipeline that already clustered pays
-    only the final join."""
+    only the final join. Output order is UNSPECIFIED (consumers join,
+    they don't scan in order — a corpus-wide range exchange here would
+    tax every pipeline run for the oracle's benefit; the gate query
+    adds orderBy at registration)."""
     docs = _docs(spark, sf_dir).select("doc_id")
     clusters = duplicate_clusters(
         spark, sf_dir, threshold=threshold, shingle_n=shingle_n
     )
-    return (
-        docs.join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
-                "cluster_id"
-            ),
-            (
-                F.col("cluster_id").isNull()
-                | (F.col("cluster_id") == F.col("doc_id"))
-            ).alias("keep"),
-        )
-        .orderBy("doc_id")
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
     )
 
 

@@ -332,6 +332,14 @@ def repair_status_violations(
         os.rename(backup, conversations_dir)
     elif os.path.exists(backup):
         shutil.rmtree(backup)
+    # a crash after the staging write but before the first rename
+    # leaves a fully-written '<dir>.staging-<uuid>' next to the intact
+    # live dir — harmless to correctness but each crashed repair
+    # strands another whole table copy; sweep them here
+    import glob as _glob
+
+    for stale in _glob.glob(conversations_dir + ".staging-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     conv = spark.read.parquet(conversations_dir)
     violating = (F.col("status") == "queued") & F.col("error").isNotNull()

@@ -109,11 +109,25 @@ class SinkLease:
     check-then-act: two racers whose write/read pairs don't interleave
     both 'confirm').
 
-    Honest scope: rename-based CAS is solid on local/POSIX filesystems
-    and sufficient for the one-driver-per-sink contract; on a real
-    lakehouse the equivalent fencing is Iceberg's optimistic snapshot
-    commit (CAS on table metadata), which rejects the loser's commit
-    rather than its claim."""
+    Every read-decide-write on the lease runs under an flock(2) on a
+    sidecar `_lease.json.lock`, which makes acquire / heartbeat /
+    takeover / release mutually atomic on local/POSIX filesystems:
+    a racer can never observe the winner's momentarily-empty O_EXCL
+    file, and a paused owner resuming past ttl re-reads the lease
+    under the lock and sees the takeover before it can clobber it.
+    The lease also carries a monotonically increasing `gen` fencing
+    token (takeover = stale gen + 1); heartbeat() refuses to write
+    over a higher generation or a different owner.
+
+    Honest scope: flock + rename-CAS is solid on local/POSIX
+    filesystems and sufficient for the one-driver-per-sink contract.
+    On filesystems without real flock semantics (some NFS mounts) the
+    lock degrades to advisory-only and a heartbeat that raced a
+    takeover could still land between that takeover's read and write —
+    the gen fence narrows but cannot close that window without a
+    server-side CAS. On a real lakehouse the equivalent fencing is
+    Iceberg's optimistic snapshot commit (CAS on table metadata),
+    which rejects the loser's commit rather than its claim."""
 
     def __init__(self, out_dir: str, owner: str | None = None,
                  ttl_seconds: float = 600.0):
@@ -124,6 +138,25 @@ class SinkLease:
             f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:6]}"
         )
         self.ttl = ttl_seconds
+        self.gen = 0
+
+    def _locked(self):
+        """Exclusive flock on the sidecar lock file for the duration of
+        one lease read-decide-write."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def cm():
+            fd = os.open(self.path + ".lock", os.O_CREAT | os.O_WRONLY)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return cm()
 
     def _read(self) -> dict | None:
         try:
@@ -135,82 +168,122 @@ class SinkLease:
     def _write(self) -> None:
         tmp = self.path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"owner": self.owner, "heartbeat": time.time()}, f)
+            json.dump(
+                {"owner": self.owner, "heartbeat": time.time(),
+                 "gen": self.gen},
+                f,
+            )
         os.replace(tmp, self.path)
 
     def acquire(self) -> "SinkLease":
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            cur = self._read()
-            if cur is not None and cur.get("owner") != self.owner:
-                age = time.time() - float(cur.get("heartbeat", 0))
-                if age < self.ttl:
-                    raise LeaseHeld(
-                        f"sink lease at {self.path} held by "
-                        f"{cur.get('owner')} (heartbeat {age:.0f}s ago, "
-                        f"ttl {self.ttl:.0f}s)"
-                    )
-                # STALE lease: claim the takeover through an O_EXCL
-                # marker whose name is derived from the exact stale
-                # content — every racer computes the same name, the
-                # filesystem hands the create to exactly one of them
-                # (a bare write-then-confirm is check-then-act: two
-                # racers whose write/read pairs don't interleave both
-                # 'confirm'). A marker left by a crashed winner expires
-                # after ttl and is cleared for the next attempt.
-                tag = f"{cur.get('owner')}@{cur.get('heartbeat')}"
-                marker = (
-                    self.path
-                    + ".takeover."
-                    + uuid.uuid5(uuid.NAMESPACE_URL, tag).hex[:16]
-                )
+        # one retry covers the release-between-open-and-read race: the
+        # holder removed the lease after our O_EXCL failed, so a second
+        # pass creates it cleanly
+        for attempt in (0, 1):
+            with self._locked():
                 try:
-                    mfd = os.open(
-                        marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    fd = os.open(
+                        self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                     )
                 except FileExistsError:
-                    if time.time() - os.path.getmtime(marker) >= self.ttl:
+                    cur = self._read()
+                    if cur is None:
+                        if not os.path.exists(self.path):
+                            continue  # released mid-race — retry create
+                        # file exists but is unreadable: NEVER treat as
+                        # ours (the old code did, letting a racer steal
+                        # a winner's momentarily-empty lease on
+                        # non-flock filesystems) — presume held
+                        raise LeaseHeld(
+                            f"lease file at {self.path} exists but is "
+                            "unreadable (winner mid-create or corrupt); "
+                            "presumed held"
+                        )
+                    if cur.get("owner") == self.owner:
+                        # our own lease (reentrant) — refresh it
+                        self.gen = max(self.gen, int(cur.get("gen", 0)))
+                        self._write()
+                        return self
+                    age = time.time() - float(cur.get("heartbeat", 0))
+                    if age < self.ttl:
+                        raise LeaseHeld(
+                            f"sink lease at {self.path} held by "
+                            f"{cur.get('owner')} (heartbeat {age:.0f}s "
+                            f"ago, ttl {self.ttl:.0f}s)"
+                        )
+                    # STALE lease: under flock the takeover is already
+                    # serialized; the O_EXCL marker (named from the
+                    # exact stale content, so every racer computes the
+                    # same name and the filesystem grants exactly one)
+                    # keeps single-winner semantics even where flock is
+                    # advisory-only. A marker left by a crashed winner
+                    # expires after ttl and is cleared for the next
+                    # attempt.
+                    tag = f"{cur.get('owner')}@{cur.get('heartbeat')}"
+                    marker = (
+                        self.path
+                        + ".takeover."
+                        + uuid.uuid5(uuid.NAMESPACE_URL, tag).hex[:16]
+                    )
+                    try:
+                        mfd = os.open(
+                            marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                    except FileExistsError:
+                        if time.time() - os.path.getmtime(marker) >= self.ttl:
+                            try:
+                                os.remove(marker)  # crashed winner
+                            except FileNotFoundError:
+                                pass
+                        raise LeaseHeld(
+                            f"takeover of stale lease at {self.path} "
+                            "already claimed by another driver"
+                        )
+                    os.close(mfd)
+                    try:
+                        # fencing token: strictly above the stale lease
+                        self.gen = int(cur.get("gen", 0)) + 1
+                        self._write()
+                    finally:
                         try:
-                            os.remove(marker)  # crashed winner; retry next
+                            os.remove(marker)
                         except FileNotFoundError:
                             pass
-                    raise LeaseHeld(
-                        f"takeover of stale lease at {self.path} already "
-                        "claimed by another driver"
-                    )
-                os.close(mfd)
-                try:
-                    self._write()
-                finally:
-                    try:
-                        os.remove(marker)
-                    except FileNotFoundError:
-                        pass
-                return self
-            # our own lease (reentrant) — refresh it
-            self._write()
-            return self
-        else:
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                json.dump({"owner": self.owner, "heartbeat": time.time()}, f)
-            return self
+                    return self
+                else:
+                    self.gen = max(self.gen, 0) + 1
+                    with os.fdopen(fd, "w", encoding="utf-8") as f:
+                        json.dump(
+                            {"owner": self.owner, "heartbeat": time.time(),
+                             "gen": self.gen},
+                            f,
+                        )
+                    return self
+        raise LeaseHeld(
+            f"lease at {self.path} kept vanishing mid-acquire; giving up"
+        )
 
     def heartbeat(self) -> None:
-        cur = self._read()
-        if cur is None or cur.get("owner") != self.owner:
-            raise LeaseHeld(
-                f"lease at {self.path} no longer owned by {self.owner}"
-            )
-        self._write()
+        with self._locked():
+            cur = self._read()
+            if (
+                cur is None
+                or cur.get("owner") != self.owner
+                or int(cur.get("gen", 0)) > self.gen
+            ):
+                raise LeaseHeld(
+                    f"lease at {self.path} no longer owned by {self.owner}"
+                )
+            self._write()
 
     def release(self) -> None:
-        cur = self._read()
-        if cur is not None and cur.get("owner") == self.owner:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+        with self._locked():
+            cur = self._read()
+            if cur is not None and cur.get("owner") == self.owner:
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
 
     def __enter__(self) -> "SinkLease":
         return self.acquire()
