@@ -181,7 +181,7 @@ def test_rows_only_queries_are_documented():
     rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
     src = inspect.getsource(entry_mod)
     inventory = src[src.index("rows-only exceptions"):]
-    inventory = inventory[:inventory.index("return sql")]
+    inventory = inventory[:inventory.index("return _compose_combos")]
     import re as _re
 
     documented = {

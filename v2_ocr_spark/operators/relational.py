@@ -333,19 +333,25 @@ def rtl_flags(spark, d):
     )
 
 
+def _arabic_turn_idx() -> F.Column:
+    return F.translate(
+        F.col("turn_idx").cast("string"), "0123456789", ARABIC_NUMERALS
+    ).alias("turn_idx_ar")
+
+
 def arabic_numerals(spark, d):
     """E6: digit mapping for ar/fa content ([id]/page.tsx:153-158)."""
     return (
         _t(spark, d)
         .where(F.col("conv_id") == "conv00000004")
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.translate(
-                F.col("turn_idx").cast("string"), "0123456789", ARABIC_NUMERALS
-            ).alias("turn_idx_ar"),
-        )
+        .select("conv_id", "turn_idx", _arabic_turn_idx())
     )
+
+
+def arabic_numerals_all(spark, d):
+    """E6 over every turn (the combined gate query's surface — same
+    expression, no conversation filter)."""
+    return _t(spark, d).select("conv_id", "turn_idx", _arabic_turn_idx())
 
 
 # ---- E7 / E10 / A7 — sanitization, human formatting, ETA ------------------
