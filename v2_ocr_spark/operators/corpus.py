@@ -90,10 +90,14 @@ def token_pack_for(
 
     start_token = local running sum + shard offset, byte-identical to
     the single-window formulation (pinned by test) with parallelism =
-    `shards` regardless of source cardinality. Non-numeric doc_id
-    falls back to the per-source window (quantile sharding needs an
-    arithmetic comparison); the corpus documents table is bigint-keyed,
-    which is the path every pipeline caller takes."""
+    `shards` regardless of source cardinality. Numeric doc_id shards
+    via approxQuantile; string doc_id (the composed transcript
+    pipeline's conv_id) via seeded-sample boundaries — the
+    RangePartitioner idiom: a bounded sorted sample picked on the
+    driver becomes literal cut points (Python's code-point string
+    order and Spark's UTF8 binary order agree, so the CaseWhen stays
+    monotone in the window's orderBy). Other id types fall back to the
+    per-source window."""
     spark = docs.sparkSession
     if shards is None:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -102,8 +106,9 @@ def token_pack_for(
         "source",
         F.regexp_count(F.col("text"), F.lit(BPE_ISH)).alias("n_tokens"),
     )
+    id_type = dict(docs.dtypes)["doc_id"]
     numeric = any(
-        t in dict(docs.dtypes)["doc_id"]
+        t in id_type
         for t in ("int", "long", "short", "byte", "float", "double", "decimal")
     )
     bounds: list = []
@@ -111,6 +116,21 @@ def token_pack_for(
         bounds = docs.select("doc_id").approxQuantile(
             "doc_id", [i / shards for i in range(1, shards)], 0.001
         )
+    elif id_type == "string" and shards > 1:
+        ids = docs.select("doc_id").where(F.col("doc_id").isNotNull())
+        n = ids.count()
+        if n:
+            # ~64 sample points per boundary; collect is bounded by
+            # shards x 64 strings regardless of corpus size
+            frac = min(1.0, (shards * 64) / n)
+            sample = sorted(
+                r["doc_id"] for r in ids.sample(fraction=frac, seed=42).collect()
+            )
+            if len(sample) >= shards:
+                m = len(sample)
+                bounds = sorted(
+                    {sample[(m * i) // shards] for i in range(1, shards)}
+                )
     if bounds:
         # ONE FLAT CaseWhen over literal boundaries (first match wins;
         # NESTED when/otherwise chains explode exponentially under
@@ -198,16 +218,42 @@ def corpus_filter(
     ordering would be pure waste; the gate query adds orderBy at
     registration for the oracle hash."""
     from v2_ocr_spark.operators.dedup import dedup_keep_list
-    from v2_ocr_spark.operators.textstats import lang_id, quality_score
 
-    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    lang = lang_id(spark, sf_dir)
-    keep = dedup_keep_list(spark, sf_dir, threshold=dedup_threshold).select(
-        "doc_id", F.col("keep").alias("dedup_keep")
+    keep_list = dedup_keep_list(spark, sf_dir, threshold=dedup_threshold)
+    return corpus_filter_for(
+        _docs(spark, sf_dir), keep_list,
+        min_quality=min_quality, min_chars=min_chars, langs=langs,
     )
+
+
+def corpus_filter_for(
+    docs: DataFrame,
+    keep_list: DataFrame,
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> DataFrame:
+    """corpus_filter over ANY (doc_id, text[, n_chars]) table plus a
+    pre-computed dedup keeper list — the shared body of the fixture
+    query and the composed transcript pipeline (assembled conversations
+    with string conv_id keys). ``n_chars`` is taken from the input when
+    present (the documents fixture carries it) and computed as
+    length(text) otherwise, so both callers apply the identical length
+    floor."""
+    from v2_ocr_spark.operators.textstats import lang_id_for, quality_score_for
+
+    d = docs
+    if "n_chars" not in d.columns:
+        # NULL text counts 0 chars -> 'too_short', never a NULL reason
+        d = d.withColumn(
+            "n_chars", F.coalesce(F.length(F.col("text")), F.lit(0))
+        )
+    base = d.select("doc_id", "n_chars")
+    q = quality_score_for(d, ["doc_id"]).select("doc_id", "quality")
+    lang = lang_id_for(d, ["doc_id"])
+    keep = keep_list.select("doc_id", F.col("keep").alias("dedup_keep"))
     j = (
-        docs.join(q, "doc_id")
+        base.join(q, "doc_id")
         .join(lang, "doc_id")
         .join(keep, "doc_id")
     )
@@ -233,19 +279,21 @@ def corpus_filter_stats(spark, sf_dir, **filter_kwargs) -> DataFrame:
     rule costs. One rollup over corpus_filter joined to the token
     counts (map-side partial aggregation; the reason key has 5
     values, so the final shuffle is trivial)."""
+    from v2_ocr_spark.operators.textstats import token_counts
+
     return _filter_stats_for(
-        spark, sf_dir, corpus_filter(spark, sf_dir, **filter_kwargs)
+        corpus_filter(spark, sf_dir, **filter_kwargs),
+        token_counts(spark, sf_dir),
     )
 
 
-def _filter_stats_for(spark, sf_dir, decisions: DataFrame) -> DataFrame:
-    """Per-reason rollup over an EXISTING decisions table — the shared
-    body of corpus_filter_stats and run_clean_pipeline's summary (one
-    definition, so the gate query and the pipeline lineage can't
-    drift)."""
-    from v2_ocr_spark.operators.textstats import token_counts
-
-    toks = token_counts(spark, sf_dir).select("doc_id", "bpe_tokens")
+def _filter_stats_for(decisions: DataFrame, toks: DataFrame) -> DataFrame:
+    """Per-reason rollup over an EXISTING decisions table joined to an
+    existing (doc_id, bpe_tokens) table — the shared body of
+    corpus_filter_stats, run_clean_pipeline's summary, and the composed
+    transcript pipeline (one definition, so the gate query and every
+    pipeline lineage can't drift)."""
+    toks = toks.select("doc_id", "bpe_tokens")
     return (
         decisions.join(toks, "doc_id")
         .groupBy("reason")
@@ -278,58 +326,73 @@ def run_clean_pipeline(
     writers (any scheme would work) but summary.json is written with
     plain file IO — on an object store, collect the returned summary
     and persist it yourself."""
-    import json
-    import os
+    from v2_ocr_spark.operators.textstats import token_counts
 
     decisions = corpus_filter(spark, sf_dir, **filter_kwargs).persist()
     try:
-        kept = decisions.where(F.col("keep")).select(
-            "doc_id", "pred_lang", "quality"
+        return _clean_pack_write(
+            spark, _docs(spark, sf_dir), decisions,
+            token_counts(spark, sf_dir), out_dir, budget,
         )
-        docs = _docs(spark, sf_dir)
-        clean = docs.join(kept, "doc_id")
-        clean.write.mode("overwrite").parquet(f"{out_dir}/clean")
-
-        # pack the SURVIVORS, not the raw corpus: packing before the
-        # filter would assign offsets/bins that include later-dropped
-        # docs, leaving every training window underfilled. Read them
-        # back from the clean/ files just written — a stage boundary:
-        # the pack plan references both its window branch and its
-        # shard-totals branch, and carrying the whole filter lineage
-        # (LSH pair join + stopword alternation regexes) into each
-        # branch makes the composed plan explode (measured: driver OOM
-        # just RENDERING the explain string at sf0.001)
-        survivors = spark.read.parquet(f"{out_dir}/clean")
-        packed = token_pack_for(survivors, budget=budget)
-        packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
-
-        # stats straight off the persisted decisions — calling
-        # corpus_filter_stats here would recompute the whole filter
-        stats = {
-            r["reason"]: {"n_docs": r["n_docs"], "bpe_tokens": r["bpe_tokens"]}
-            for r in _filter_stats_for(spark, sf_dir, decisions).collect()
-        }
-        # count bins from the files just written, not by re-running the
-        # pack plan (window + scan + join) a second time
-        n_bins = (
-            spark.read.parquet(f"{out_dir}/packed")
-            .select("source", "bin")
-            .distinct()
-            .count()
-        )
-        summary = {
-            "outcomes": stats,
-            "kept_docs": int(stats.get("kept", {}).get("n_docs", 0)),
-            "kept_bins": int(n_bins),
-            "budget": budget,
-        }
-        tmp = f"{out_dir}/summary.json.tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(summary, f)
-        os.replace(tmp, f"{out_dir}/summary.json")
-        return summary
     finally:
         decisions.unpersist()
+
+
+def _clean_pack_write(
+    spark, docs: DataFrame, decisions: DataFrame, toks: DataFrame,
+    out_dir: str, budget: int,
+) -> dict:
+    """The filter->keep->pack->write tail shared by run_clean_pipeline
+    (fixture documents) and the composed transcript pipeline (assembled
+    conversations). ``decisions`` should arrive persisted (it is
+    consumed by the clean join AND the stats rollup)."""
+    import json
+    import os
+
+    kept = decisions.where(F.col("keep")).select(
+        "doc_id", "pred_lang", "quality"
+    )
+    clean = docs.join(kept, "doc_id")
+    clean.write.mode("overwrite").parquet(f"{out_dir}/clean")
+
+    # pack the SURVIVORS, not the raw corpus: packing before the
+    # filter would assign offsets/bins that include later-dropped
+    # docs, leaving every training window underfilled. Read them
+    # back from the clean/ files just written — a stage boundary:
+    # the pack plan references both its window branch and its
+    # shard-totals branch, and carrying the whole filter lineage
+    # (LSH pair join + stopword alternation regexes) into each
+    # branch makes the composed plan explode (measured: driver OOM
+    # just RENDERING the explain string at sf0.001)
+    survivors = spark.read.parquet(f"{out_dir}/clean")
+    packed = token_pack_for(survivors, budget=budget)
+    packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+
+    # stats straight off the persisted decisions — calling
+    # corpus_filter_stats here would recompute the whole filter
+    stats = {
+        r["reason"]: {"n_docs": r["n_docs"], "bpe_tokens": r["bpe_tokens"]}
+        for r in _filter_stats_for(decisions, toks).collect()
+    }
+    # count bins from the files just written, not by re-running the
+    # pack plan (window + scan + join) a second time
+    n_bins = (
+        spark.read.parquet(f"{out_dir}/packed")
+        .select("source", "bin")
+        .distinct()
+        .count()
+    )
+    summary = {
+        "outcomes": stats,
+        "kept_docs": int(stats.get("kept", {}).get("n_docs", 0)),
+        "kept_bins": int(n_bins),
+        "budget": budget,
+    }
+    tmp = f"{out_dir}/summary.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(summary, f)
+    os.replace(tmp, f"{out_dir}/summary.json")
+    return summary
 
 
 def cross_source_overlap(

@@ -492,11 +492,21 @@ def dedup_keep_list(
     they don't scan in order — a corpus-wide range exchange here would
     tax every pipeline run for the oracle's benefit; the gate query
     adds orderBy at registration)."""
-    docs = _docs(spark, sf_dir).select("doc_id")
     clusters = duplicate_clusters(
         spark, sf_dir, threshold=threshold, shingle_n=shingle_n
     )
-    return docs.join(clusters, "doc_id", "left").select(
+    return dedup_keep_list_for(_docs(spark, sf_dir), clusters)
+
+
+def dedup_keep_list_for(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """dedup_keep_list over ANY doc universe + cluster labels — the
+    shared body of the fixture-table query and the composed transcript
+    pipeline (conversation-level keeper selection over assembled
+    conversations, where doc_id is a string conv_id). ``docs`` supplies
+    the id universe (any orderable id type); ``clusters`` is a
+    (doc_id, cluster_id) label table as produced by duplicate_clusters
+    (only docs that appear in some near-dup pair need a row)."""
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
             "cluster_id"

@@ -1,0 +1,138 @@
+"""The composed FLAGSHIP-to-TRAINING-DATA job: resumable transcript
+extraction -> conversation assembly -> corpus cleaning (quality +
+language + length + conversation-level near-dup keeper) -> token
+packing, as ONE pipeline run.
+
+This wires the two halves the repo otherwise exposes separately:
+
+  * the extraction path (ExtractionJob: per-partition checkpointed
+    extract of every transcript turn, lease-owned sink, lineage
+    metrics — the north-rule flagship), and
+  * the training-data path (corpus_filter -> keeper selection ->
+    token_pack — run_clean_pipeline's shape, previously only runnable
+    over the synthetic `documents` fixture).
+
+Stage boundary discipline: the extraction output is COMMITTED parquet
+(the MergeSink table), so the cleaning stages re-read a real table
+exactly as a production pipeline would — a crash in cleaning never
+invalidates the extraction commits, and a re-run resumes extraction
+as up-to-date and recomputes only the cleaning tail.
+
+Scale notes per stage: extraction is the audited zero-shuffle
+MapInPandas; assembly the two-phase chunked merge (turn-derived salt);
+near-dup the shingle inverted index over assembled conversations
+(ngram_jaccard_pairs_for, string-id generic, max_df cap available);
+packing the two-phase distributed prefix sum, sharded for STRING ids
+via seeded-sample boundaries (see token_pack_for). Nothing here is new
+machinery — the compose step is joins over the already-audited
+operators.
+
+Reference parity: the reference's processing chain (queue claim ->
+per-page OCR cleanup -> document assembly -> export) is
+file-processor.ts:229-330 + the export path page.tsx:629-655; the
+cleaning tail is the training-data extension the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+
+from v2_ocr_spark.operators.assemble import assemble
+from v2_ocr_spark.operators.corpus import _clean_pack_write, corpus_filter_for
+from v2_ocr_spark.operators.dedup import (
+    dedup_keep_list_for,
+    duplicate_clusters,
+    ngram_jaccard_pairs_for,
+)
+from v2_ocr_spark.operators.textstats import token_counts_for
+from v2_ocr_spark.pipeline.runner import ExtractionJob
+
+
+def run_extract_clean_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    num_partitions: int = 32,
+    budget: int = 2048,
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    dedup_threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    incremental: bool = False,
+) -> dict:
+    """Extract every transcript turn, assemble conversations, filter
+    them with the corpus-cleaning decision, and pack the survivors into
+    token-budget windows.
+
+    Writes (under ``out_dir``):
+      extracted/    the committed per-partition extraction table
+                    (resumable; re-runs skip committed partitions)
+      clean/        kept conversations with their filter columns
+      packed/       (source, doc_id, n_tokens, start_token, bin)
+      summary.json  filter outcomes + pack bins + extraction lineage
+
+    Returns the summary dict; ``summary["extraction"]`` carries the
+    extraction-stage lineage (run id, status, per-run committed
+    partitions, and the turn/char/error totals from the per-partition
+    commit metrics) so ONE artifact covers both stages.
+    """
+    job = ExtractionJob(
+        spark, input_path, f"{out_dir}/extracted",
+        num_partitions=num_partitions,
+    )
+    res = job.run(incremental=incremental)
+
+    # errored turns stay rows in the extract table (P10) but carry no
+    # text; the cleaning stages consume successful extractions only
+    extracted = job.read_output().where(F.col("error").isNull())
+    convs = assemble(extracted)
+    docs = convs.select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("document_text").alias("text"),
+        F.lit("transcripts").alias("source"),
+    ).persist()
+    try:
+        pairs = ngram_jaccard_pairs_for(
+            docs, threshold=dedup_threshold, shingle_n=shingle_n,
+            max_df=max_df,
+        )
+        clusters = duplicate_clusters(spark, None, pairs=pairs)
+        keep = dedup_keep_list_for(docs, clusters)
+        decisions = corpus_filter_for(
+            docs, keep,
+            min_quality=min_quality, min_chars=min_chars, langs=langs,
+        ).persist()
+        try:
+            summary = _clean_pack_write(
+                spark, docs, decisions,
+                token_counts_for(docs, ["doc_id"]),
+                out_dir, budget,
+            )
+        finally:
+            decisions.unpersist()
+    finally:
+        docs.unpersist()
+
+    metrics = [c.get("metrics", {}) for c in job.sink.committed().values()]
+    summary["extraction"] = {
+        "run_id": res["run_id"],
+        "status": res["status"],
+        "committed_this_run": len(res.get("committed", [])),
+        "partitions": len(metrics),
+        "turns_seen": sum(m.get("turns_seen", 0) for m in metrics),
+        "turns_errored": sum(m.get("turns_errored", 0) for m in metrics),
+        "chars_out": sum(m.get("chars_out", 0) for m in metrics),
+    }
+    # re-write the summary with the extraction lineage folded in (the
+    # tail helper wrote the cleaning-only view; same atomic swap)
+    import json
+    import os
+
+    tmp = f"{out_dir}/summary.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(summary, f)
+    os.replace(tmp, f"{out_dir}/summary.json")
+    return summary
