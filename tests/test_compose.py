@@ -149,3 +149,30 @@ def test_token_pack_string_ids_shard_and_match_single_window(spark):
     assert "CASE WHEN" in p
     assert "hashpartitioning(_shard" in p
     assert "SinglePartition" not in p
+
+
+def test_run_extract_clean_pipeline_minhash(
+    spark, small_transcripts, tmp_path
+):
+    """dedup_method='minhash' routes conversation near-dup through the
+    sub-quadratic signature->LSH->verify path (string conv_ids) and
+    still produces a decision for every conversation."""
+    out = str(tmp_path / "composed_mh")
+    summary = run_extract_clean_pipeline(
+        spark, small_transcripts, out, num_partitions=NP, budget=500,
+        dedup_method="minhash",
+    )
+    src = spark.read.parquet(small_transcripts)
+    n_convs = src.select("conv_id").distinct().count()
+    assert summary["extraction"]["status"] == "ok"
+    assert sum(v["n_docs"] for v in summary["outcomes"].values()) == n_convs
+    assert summary["kept_docs"] > 0
+    assert (
+        spark.read.parquet(f"{out}/packed").count() == summary["kept_docs"]
+    )
+
+    with pytest.raises(ValueError, match="dedup_method"):
+        run_extract_clean_pipeline(
+            spark, small_transcripts, str(tmp_path / "bad"),
+            dedup_method="nope",
+        )

@@ -674,3 +674,33 @@ def test_dedup_lines_keeps_first_occurrence_order(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     got = {r.doc_id: r.dedup_text for r in textstats.dedup_lines(spark, d).collect()}
     assert got == {1: "b\na\nc", 2: "solo"}  # order kept; NULL doc excluded
+
+
+def test_minhash_lsh_pairs_for_string_ids(spark):
+    """The generic MinHash path (the composed pipeline's sub-quadratic
+    dedup over string conv_ids) must equal the exact inverted-index
+    pairs — same id ordering, same verified Jaccard — on a corpus
+    whose every stage runs through string keys."""
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = base.select(
+        F.concat(F.lit("conv"), F.lpad(F.col("doc_id").cast("string"),
+                                       8, "0")).alias("doc_id"),
+        "text",
+    )
+    pairs_df = dedup.minhash_lsh_pairs_for(docs, threshold=0.5)
+    try:
+        got = pairs_df.toPandas()
+        exact = (
+            dedup.ngram_jaccard_pairs_for(docs, threshold=0.5)
+            .orderBy("doc_a", "doc_b")
+            .toPandas()
+        )
+        assert len(got) > 0
+        assert got["doc_a"].map(type).eq(str).all()
+        assert got[["doc_a", "doc_b"]].values.tolist() == (
+            exact[["doc_a", "doc_b"]].values.tolist()
+        )
+        assert (got["jaccard"] - exact["jaccard"]).abs().max() == 0
+    finally:
+        # _for hands ownership of the persisted pair set to the caller
+        pairs_df.unpersist()

@@ -6,7 +6,8 @@ cleaning -> token packing in one job.
         tools/run_extract_clean_pipeline.py \
         --input <transcripts.parquet> --out <dir> \
         [--partitions 32] [--budget 2048] [--min-quality 0.5] \
-        [--min-chars 100] [--dedup-threshold 0.5] [--incremental]
+        [--min-chars 100] [--dedup-threshold 0.5] \
+        [--dedup-method ngram|minhash] [--incremental]
 """
 
 from __future__ import annotations
@@ -24,6 +25,9 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--dedup-threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--dedup-method", choices=["ngram", "minhash"], default="ngram"
+    )
     ap.add_argument("--incremental", action="store_true")
     args = ap.parse_args()
 
@@ -39,6 +43,7 @@ def main() -> None:
         min_quality=args.min_quality,
         min_chars=args.min_chars,
         dedup_threshold=args.dedup_threshold,
+        dedup_method=args.dedup_method,
         incremental=args.incremental,
     )
     print(json.dumps(summary))

@@ -149,8 +149,10 @@ def minhash_signatures(
                 out, columns=["doc_id", "sig", "n_shingles"]
             )
 
+    # id type follows the input (bigint doc_id, string conv_id, ...)
+    id_type = dict(docs.dtypes)["doc_id"]
     return docs.select("doc_id", "text").mapInPandas(
-        run, schema="doc_id long, sig array<long>, n_shingles int"
+        run, schema=f"doc_id {id_type}, sig array<long>, n_shingles int"
     )
 
 
@@ -212,10 +214,13 @@ def lsh_candidate_pairs(
     def emit_pairs(batches):
         from itertools import combinations
 
-        buf: list[tuple[int, int]] = []
+        buf: list[tuple] = []
         for pdf in batches:
             for ids in pdf["ids"]:
-                for pair in combinations(sorted({int(i) for i in ids}), 2):
+                # ids arrive as Arrow scalars (numpy int64 / str); the
+                # Python sort agrees with Spark's ordering for both
+                # (numeric, and code-point == UTF8-binary for strings)
+                for pair in combinations(sorted(set(ids)), 2):
                     buf.append(pair)
                     if len(buf) >= FLUSH:
                         yield pd.DataFrame(buf, columns=["doc_a", "doc_b"])
@@ -223,8 +228,11 @@ def lsh_candidate_pairs(
         if buf:
             yield pd.DataFrame(buf, columns=["doc_a", "doc_b"])
 
+    id_type = dict(sig.dtypes)["doc_id"]
     return (
-        buckets.mapInPandas(emit_pairs, schema="doc_a long, doc_b long")
+        buckets.mapInPandas(
+            emit_pairs, schema=f"doc_a {id_type}, doc_b {id_type}"
+        )
         .distinct()
     )
 
@@ -277,8 +285,9 @@ def verify_jaccard(
                 )
             yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
+    id_type = dict(pairs.dtypes)["doc_a"]
     return joined.mapInPandas(
-        run, schema="doc_a long, doc_b long, jaccard double"
+        run, schema=f"doc_a {id_type}, doc_b {id_type}, jaccard double"
     )
 
 
@@ -328,8 +337,36 @@ def minhash_lsh_pairs(
     )
     if use_cache and key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
-    # docs feed both the signature pass and the verify join-back
-    docs = _docs(spark, sf_dir).persist()
+    result = minhash_lsh_pairs_for(
+        _docs(spark, sf_dir), threshold=threshold, num_hashes=num_hashes,
+        rows_per_band=rows_per_band, shingle_n=shingle_n,
+    )
+    if use_cache:
+        _PAIRS_CACHE[key] = result
+    return result
+
+
+def minhash_lsh_pairs_for(
+    docs: DataFrame, threshold: float = 0.5,
+    num_hashes: int = 128, rows_per_band: int = 2, shingle_n: int = 3,
+) -> DataFrame:
+    """minhash_lsh_pairs over ANY (doc_id, text) DataFrame — e.g.
+    assembled conversations with string conv_id keys, the sub-quadratic
+    near-dup path the composed pipeline takes at scale (the exact
+    inverted-index sibling is ngram_jaccard_pairs_for). The id column
+    may be any orderable primitive type. Returns a PERSISTED,
+    materialized pair set (same candidates-then-exact-verify contract);
+    no memoization — callers that re-consume it across stages own the
+    cache (the fixture wrapper minhash_lsh_pairs memoizes per content
+    signature)."""
+    # docs feed both the signature pass and the verify join-back;
+    # respect a caller's existing persist (compose persists the
+    # assembled conversations for the whole cleaning tail — yanking
+    # that cache here would force every later stage to recompute)
+    lvl = docs.storageLevel
+    owns_docs_cache = not (lvl.useMemory or lvl.useDisk)
+    if owns_docs_cache:
+        docs = docs.persist()
     # cache the one-pass signatures: they feed 64 band projections
     sig = minhash_signatures(docs, num_hashes, shingle_n).persist()
     cand = lsh_candidate_pairs(sig, rows_per_band, num_hashes).persist()
@@ -349,9 +386,8 @@ def minhash_lsh_pairs(
     # input/params, released by clear_pairs_cache()).
     result.count()
     cand.unpersist()
-    docs.unpersist()
-    if use_cache:
-        _PAIRS_CACHE[key] = result
+    if owns_docs_cache:
+        docs.unpersist()
     return result
 
 

@@ -20,12 +20,14 @@ as up-to-date and recomputes only the cleaning tail.
 
 Scale notes per stage: extraction is the audited zero-shuffle
 MapInPandas; assembly the two-phase chunked merge (turn-derived salt);
-near-dup the shingle inverted index over assembled conversations
-(ngram_jaccard_pairs_for, string-id generic, max_df cap available);
-packing the two-phase distributed prefix sum, sharded for STRING ids
-via seeded-sample boundaries (see token_pack_for). Nothing here is new
-machinery — the compose step is joins over the already-audited
-operators.
+near-dup over assembled conversations is selectable — the exact
+shingle inverted index (ngram_jaccard_pairs_for, default, max_df cap
+available) or the sub-quadratic MinHash->LSH->verify cascade
+(minhash_lsh_pairs_for, `dedup_method="minhash"`, the tunable at
+100 TB); both are string-id generic. Packing is the two-phase
+distributed prefix sum, sharded for STRING ids via seeded-sample
+boundaries (see token_pack_for). Nothing here is new machinery — the
+compose step is joins over the already-audited operators.
 
 Reference parity: the reference's processing chain (queue claim ->
 per-page OCR cleanup -> document assembly -> export) is
@@ -43,6 +45,7 @@ from v2_ocr_spark.operators.corpus import _clean_pack_write, corpus_filter_for
 from v2_ocr_spark.operators.dedup import (
     dedup_keep_list_for,
     duplicate_clusters,
+    minhash_lsh_pairs_for,
     ngram_jaccard_pairs_for,
 )
 from v2_ocr_spark.operators.textstats import token_counts_for
@@ -61,6 +64,7 @@ def run_extract_clean_pipeline(
     dedup_threshold: float = 0.5,
     shingle_n: int = 3,
     max_df: int | None = None,
+    dedup_method: str = "ngram",
     incremental: bool = False,
 ) -> dict:
     """Extract every transcript turn, assemble conversations, filter
@@ -79,6 +83,10 @@ def run_extract_clean_pipeline(
     partitions, and the turn/char/error totals from the per-partition
     commit metrics) so ONE artifact covers both stages.
     """
+    if dedup_method not in ("ngram", "minhash"):
+        raise ValueError(
+            f"dedup_method must be 'ngram' or 'minhash', got {dedup_method!r}"
+        )
     job = ExtractionJob(
         spark, input_path, f"{out_dir}/extracted",
         num_partitions=num_partitions,
@@ -95,10 +103,20 @@ def run_extract_clean_pipeline(
         F.lit("transcripts").alias("source"),
     ).persist()
     try:
-        pairs = ngram_jaccard_pairs_for(
-            docs, threshold=dedup_threshold, shingle_n=shingle_n,
-            max_df=max_df,
-        )
+        # near-dup pair finding: 'ngram' is the EXACT inverted-index
+        # path (default; sum-of-df^2 cost, max_df skew cap available);
+        # 'minhash' is the sub-quadratic signature->LSH->verify path —
+        # the tunable at 100 TB, where even capped df^2 over assembled
+        # conversations can dominate
+        if dedup_method == "minhash":
+            pairs = minhash_lsh_pairs_for(
+                docs, threshold=dedup_threshold, shingle_n=shingle_n,
+            )
+        else:
+            pairs = ngram_jaccard_pairs_for(
+                docs, threshold=dedup_threshold, shingle_n=shingle_n,
+                max_df=max_df,
+            )
         clusters = duplicate_clusters(spark, None, pairs=pairs)
         keep = dedup_keep_list_for(docs, clusters)
         decisions = corpus_filter_for(
@@ -113,6 +131,11 @@ def run_extract_clean_pipeline(
             )
         finally:
             decisions.unpersist()
+            if dedup_method == "minhash":
+                # minhash_lsh_pairs_for hands back a persisted pair set
+                # (the memoizing fixture wrapper owns its copies; here
+                # the composed job does)
+                pairs.unpersist()
     finally:
         docs.unpersist()
 
