@@ -150,6 +150,22 @@ def test_token_pack_string_ids_shard_and_match_single_window(spark):
     assert "hashpartitioning(_shard" in p
     assert "SinglePartition" not in p
 
+    # default (shards=None) on a tiny input ADAPTIVELY collapses: no
+    # boundary sharding in the plan (one window task covers 400 rows
+    # faster than the count+sample jobs run), same output either way
+    p0 = (
+        corpus.token_pack_for(docs, budget=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_shard" not in p0
+    got0 = (
+        corpus.token_pack_for(docs, budget=100)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got0.equals(naive)
+
 
 def test_run_extract_clean_pipeline_minhash(
     spark, small_transcripts, tmp_path

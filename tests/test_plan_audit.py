@@ -121,10 +121,25 @@ def test_token_pack_window_is_sub_sharded(spark):
     formulation's PARTITION BY source was one task per source)."""
     from v2_ocr_spark.operators import corpus
 
+    # default call on the tiny fixture ADAPTIVELY collapses to the
+    # plain per-source window (no _shard machinery: at this size the
+    # boundary jobs cost more than one window task)
     p = plan(corpus.token_pack(spark, "/root/testdata/sf0.001"))
     assert "SinglePartition" not in p
-    # the local cumsum window is keyed by the shard, not source alone
-    assert "hashpartitioning(_shard" in p
+    assert "_shard" not in p
+
+    # default call on a LARGE input (past the collapse probe) must
+    # auto-shard: the local cumsum window is keyed by the shard, not
+    # source alone
+    big = spark.range(0, 1_100_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("source"),
+        F.lit("tok tok").alias("text"),
+    )
+    pbig = plan(corpus.token_pack_for(big, budget=1000))
+    assert "hashpartitioning(_shard" in pbig
+    assert "SinglePartition" not in pbig
 
     # the guarantee the round-2 pin missed: one source, many tasks.
     # source is built non-foldable — a literal would constant-fold out

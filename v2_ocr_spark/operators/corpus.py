@@ -51,6 +51,12 @@ def vocabulary_topk(spark, sf_dir, k: int = 100) -> DataFrame:
     )
 
 
+# below this many docs, token_pack's default path skips the two-phase
+# boundary jobs: a single window task covers the input faster than the
+# count+sample jobs can run (callers passing explicit `shards` opt out)
+_SMALL_INPUT_ROWS = 1_000_000
+
+
 def token_pack(spark, sf_dir, budget: int = 2048) -> DataFrame:
     """Deterministic sequence packing over the WHOLE documents table
     (the oracled query surface); see token_pack_for."""
@@ -74,7 +80,7 @@ def token_pack_for(
     one task per source and a handful-of-sources corpus (the common
     case) would serialize 40 TB through single reducers:
 
-      1. shard each doc by doc_id against approxQuantile boundaries
+      1. shard each doc by doc_id against sampled boundaries
          (one narrow driver job; the boundaries become LITERALS, so the
          shard label is deterministic and order-preserving — within a
          source, shard p's docs all precede shard p+1's — and every
@@ -90,16 +96,20 @@ def token_pack_for(
 
     start_token = local running sum + shard offset, byte-identical to
     the single-window formulation (pinned by test) with parallelism =
-    `shards` regardless of source cardinality. Numeric doc_id shards
-    via approxQuantile; string doc_id (the composed transcript
-    pipeline's conv_id) via seeded-sample boundaries — the
-    RangePartitioner idiom: a bounded sorted sample picked on the
-    driver becomes literal cut points (Python's code-point string
-    order and Spark's UTF8 binary order agree, so the CaseWhen stays
-    monotone in the window's orderBy). Other id types fall back to the
-    per-source window."""
+    `shards` regardless of source cardinality. Numeric and string
+    doc_ids (the composed transcript pipeline's conv_id) shard via
+    seeded-sample boundaries — the RangePartitioner idiom: a bounded
+    sorted sample picked on the driver becomes literal cut points
+    (Python's numeric and code-point string orders agree with Spark's
+    numeric and UTF8 binary orders, so the CaseWhen stays monotone in
+    the window's orderBy). Other id types fall back to the per-source
+    window. Default calls (shards=None) ADAPTIVELY collapse to the
+    single-window plan when a bounded probe shows the input is under
+    ~10^6 rows — at that size one window task beats paying the
+    boundary jobs; passing `shards` explicitly always shards."""
     spark = docs.sparkSession
-    if shards is None:
+    auto = shards is None
+    if auto:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = docs.select(
         "doc_id",
@@ -112,16 +122,32 @@ def token_pack_for(
         for t in ("int", "long", "short", "byte", "float", "double", "decimal")
     )
     bounds: list = []
-    if numeric and shards > 1:
-        bounds = docs.select("doc_id").approxQuantile(
-            "doc_id", [i / shards for i in range(1, shards)], 0.001
-        )
-    elif id_type == "string" and shards > 1:
+    if (numeric or id_type == "string") and shards > 1:
+        # ONE sampled-boundaries path for every supported id type (the
+        # RangePartitioner idiom). approxQuantile was measured ~3x the
+        # cost of count+sample at sf0.1 for boundaries whose PLACEMENT
+        # is free to be approximate anyway — output is byte-identical
+        # under ANY monotone cut points; placement only balances shard
+        # sizes, and a seeded 64-points-per-boundary sample balances
+        # within a few percent.
         ids = docs.select("doc_id").where(F.col("doc_id").isNotNull())
-        n = ids.count()
+        n = 0
+        if auto and (
+            ids.limit(_SMALL_INPUT_ROWS + 1).count() <= _SMALL_INPUT_ROWS
+        ):
+            # ADAPTIVE collapse, default calls only: below ~10^6 rows a
+            # one-task-per-source window finishes in well under the
+            # cost of the boundary count+sample jobs, so sharding tiny
+            # inputs is pure overhead. The probe is a LocalLimit-capped
+            # scan (bounded rows per partition, doc_id column only).
+            # Explicit `shards` always shards — callers (and the plan
+            # pins) that ask for parallelism get it.
+            pass
+        else:
+            n = ids.count()
         if n:
             # ~64 sample points per boundary; collect is bounded by
-            # shards x 64 strings regardless of corpus size
+            # shards x 64 ids regardless of corpus size
             frac = min(1.0, (shards * 64) / n)
             sample = sorted(
                 r["doc_id"] for r in ids.sample(fraction=frac, seed=42).collect()
@@ -131,21 +157,38 @@ def token_pack_for(
                 bounds = sorted(
                     {sample[(m * i) // shards] for i in range(1, shards)}
                 )
-    if bounds:
-        # ONE FLAT CaseWhen over literal boundaries (first match wins;
-        # NESTED when/otherwise chains explode exponentially under
-        # Catalyst's conditional rewrites — the CLAUDE.md CASE trap):
-        # monotone in doc_id, so all of shard p precedes shard p+1
-        # within a source. NULL doc_id sorts NULLS FIRST in the window
-        # — it lands in shard 0 up front (the comparisons would
-        # otherwise all be NULL and fall through to the LAST shard,
-        # breaking order preservation)
-        shard_col = F.when(F.col("doc_id").isNull(), F.lit(0))
-        for i, b in enumerate(bounds):
-            shard_col = shard_col.when(F.col("doc_id") <= F.lit(b), F.lit(i))
-        shard_col = shard_col.otherwise(F.lit(len(bounds)))
-    else:
-        shard_col = F.lit(0)
+    if not bounds:
+        # one-shard cases (tiny adaptive collapse, non-orderable id
+        # fallback, shards=1, degenerate sample) take the plain
+        # single-window formulation outright — threading a constant
+        # _shard through the two-phase machinery would add two no-op
+        # stages and the constant would fold out of the partitioning
+        # anyway
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        return d.select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            start.cast("bigint").alias("start_token"),
+            F.floor(start / budget).cast("int").alias("bin"),
+        )
+    # ONE FLAT CaseWhen over literal boundaries (first match wins;
+    # NESTED when/otherwise chains explode exponentially under
+    # Catalyst's conditional rewrites — the CLAUDE.md CASE trap):
+    # monotone in doc_id, so all of shard p precedes shard p+1
+    # within a source. NULL doc_id sorts NULLS FIRST in the window
+    # — it lands in shard 0 up front (the comparisons would
+    # otherwise all be NULL and fall through to the LAST shard,
+    # breaking order preservation)
+    shard_col = F.when(F.col("doc_id").isNull(), F.lit(0))
+    for i, b in enumerate(bounds):
+        shard_col = shard_col.when(F.col("doc_id") <= F.lit(b), F.lit(i))
+    shard_col = shard_col.otherwise(F.lit(len(bounds)))
     d = d.withColumn("_shard", shard_col)
     w_local = (
         Window.partitionBy("_shard", "source")
@@ -163,9 +206,21 @@ def token_pack_for(
     )
     # phase 2: per-shard totals (<= shards x sources rows), exclusive
     # prefix per source across shards — the only per-source-serial
-    # step, over a table bounded by the shard count, not the corpus
+    # step, over a table bounded by the shard count, not the corpus.
+    # The total is taken as max(inclusive cumsum) FROM THE WINDOW
+    # OUTPUT, not sum(n_tokens): an agg of raw n_tokens lets Catalyst
+    # prune the Window out of this branch and push a partial aggregate
+    # below its own exchange, so the two branches stop sharing a
+    # subtree and the BPE regexp_count scan (the dominant cost) runs
+    # TWICE. Referencing _local_start pins both branches to the one
+    # Exchange(project(regexp_count)) subplan, which AQE then reuses —
+    # measured 1.39 s -> single-scan at sf0.1. Equivalence: cumsum is
+    # nondecreasing (regexp_count >= 0, NULL rows add nothing), so its
+    # max over a (shard, source) group IS the group's token total.
     totals = local.groupBy("_shard", "source").agg(
-        F.sum("n_tokens").alias("_shard_total")
+        F.max(F.col("_local_start") + F.col("n_tokens")).alias(
+            "_shard_total"
+        )
     )
     w_off = (
         Window.partitionBy("source")
