@@ -159,6 +159,24 @@ def test_token_pack_window_is_sub_sharded(spark):
     assert df1.count() == 500  # no rows lost to the offsets join
 
 
+def test_token_pack_shard_totals_reuse_the_window_exchange(spark):
+    """The sharded pack's phase-2 totals must share ONE scan+exchange
+    with the phase-1 window (the totals aggregate references
+    _local_start from the window output precisely so Catalyst cannot
+    split the subtree and re-run the BPE regexp scan). The static plan
+    shows two scan branches; AQE's stage cache dedupes them at runtime
+    — pin ReusedExchange in the EXECUTED final plan."""
+    from v2_ocr_spark.operators import corpus
+
+    df = corpus.token_pack_for(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        shards=4,
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+
+
 def test_vocabulary_topk_uses_take_ordered(spark):
     """Top-k must plan as distributed TakeOrderedAndProject, not a
     global sort of the whole token-count table."""
