@@ -167,6 +167,38 @@ def test_token_pack_string_ids_shard_and_match_single_window(spark):
     assert got0.equals(naive)
 
 
+def test_token_pack_null_id_source_text_shard_equals_window(spark):
+    """NULL doc_id (shard 0 up front — the CaseWhen NULLS-FIRST guard),
+    NULL source (its own window group; the offset join is eqNullSafe)
+    and NULL text (NULL n_tokens: start stays NULL, later rows skip it)
+    must all survive the sharded two-phase path byte-identically to the
+    single-window formulation — the fixture tables carry none of these,
+    so this pins the guards directly."""
+    rows = []
+    for i in range(20):
+        rows.append(
+            (f"conv{i:06d}", "alpha" if i % 2 else "beta",
+             "tok " * (i + 1))
+        )
+    rows.append((None, "alpha", "null id text"))      # NULL doc_id
+    rows.append((None, "beta", "null id text b"))
+    rows.append(("convzz0001", None, "null src one"))  # NULL source grp
+    rows.append(("convzz0002", None, "null src two"))
+    rows.append(("conv000099", "alpha", None))         # NULL text
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, text string"
+    )
+    naive = _naive_pack(docs, 100)
+    for shards in (4, 16):
+        got = (
+            corpus.token_pack_for(docs, budget=100, shards=shards)
+            .toPandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(naive), f"shards={shards}"
+
+
 def test_run_extract_clean_pipeline_minhash(
     spark, small_transcripts, tmp_path
 ):
