@@ -337,6 +337,22 @@ _D = f"{REPO_DATA}/sf0.01"
 _T = f"read_parquet('{_D}/transcripts.parquet')"
 _E = f"read_parquet('{_D}/transcripts_expected.parquet')"
 _C = f"read_parquet('{_D}/conversations.parquet')"
+# expected-parquet twins over the driver's sf0.01 documents table
+# (fixtures/oracle_expected.py; freshness pinned by input_sig.json +
+# tests/test_oracle_expected.py)
+_ORACLE_DIR = f"{REPO_DATA}/oracle"
+
+
+def _md5_u60_sql(expr: str) -> str:
+    """DuckDB twin of multimodal._md5_u60 / hash_stable: first 60 bits
+    of md5 as an unsigned integer — the fake-codec dimension hash."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::UBIGINT"
+
+
+_ID_STR = "CAST(doc_id AS VARCHAR)"
+_H_SALT = f"{_ID_STR} || ':h'"
+_V_SALT = f"{_ID_STR} || ':v'"
+_A_SALT = f"{_ID_STR} || ':a'"
 
 # kind-dispatch rule, mirrored in SQL
 _KIND = (
@@ -850,12 +866,74 @@ def oracle_sql() -> dict[str, str]:
             r"md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_norm "
             "FROM documents"
         ),
-        # rows-only exceptions (engine-specific hashing or stubbed
-        # codecs; each recall/plumbing-tested in tests/):
-        # dedup_simhash, ann_ivf_topk, ann_srp_lsh_topk,
-        # approx_distinct_users, rolling_fingerprint, multimodal_image_meta,
-        # multimodal_frame_sample, multimodal_audio_chunks,
-        # multimodal_image_dhash, multimodal_image_near_dup.
+        # ---- expected-parquet twins (fixtures/oracle_expected.py:
+        # independent pure-Python reimplementations over the sf0.01
+        # documents table; DuckDB recomputes digests/pairs FROM the
+        # expected hash tables, so both the hash kernel and the banded
+        # join are checked — banding recall is total at the default
+        # thresholds, so brute-force-all-pairs == banded output) ----
+        "rolling_fingerprint": (
+            "SELECT doc_id, n_fps, md5(fp_csv) AS fp_digest "
+            f"FROM read_parquet('{_ORACLE_DIR}/"
+            "rolling_fingerprint_expected.parquet')"
+        ),
+        "dedup_simhash": (
+            f"WITH s AS (SELECT * FROM read_parquet('{_ORACLE_DIR}/"
+            "simhash_expected.parquet')) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "multimodal_image_dhash": (
+            f"SELECT doc_id, dhash FROM read_parquet('{_ORACLE_DIR}/"
+            "dhash_expected.parquet') ORDER BY doc_id"
+        ),
+        "multimodal_image_near_dup": (
+            f"WITH d AS (SELECT * FROM read_parquet('{_ORACLE_DIR}/"
+            "dhash_expected.parquet')) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.dhash, b.dhash)) <= 6 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # ---- fake-codec metadata: md5-derived dims (multimodal._md5_u60
+        # / hash_stable), so the 'decode' arithmetic is plain SQL ----
+        "multimodal_image_meta": (
+            "WITH m AS (SELECT doc_id, "
+            "CAST(12 + octet_length(encode(text)) AS INT) AS byte_len, "
+            f"CAST({_md5_u60_sql(_ID_STR)} % 1920 + 1 AS INT) AS width, "
+            f"CAST({_md5_u60_sql(_H_SALT)} % 1080 + 1 AS INT) AS height "
+            "FROM documents) "
+            "SELECT doc_id, byte_len, true AS magic_ok, width, height, "
+            "CAST(width AS DOUBLE) / height AS aspect FROM m "
+            "ORDER BY doc_id"
+        ),
+        "multimodal_frame_sample": (
+            "WITH v AS (SELECT doc_id, "
+            f"2 + CAST({_md5_u60_sql(_V_SALT)} % 8 AS INT) AS n "
+            "FROM documents) "
+            "SELECT doc_id, CAST((n + 1) // 2 AS INT) AS n_sampled, "
+            "CAST(16 * (2 * ((n - 1) // 2) + 1) AS INT) AS max_width "
+            "FROM v ORDER BY doc_id"
+        ),
+        "multimodal_audio_chunks": (
+            "WITH a AS (SELECT doc_id, "
+            f"CASE WHEN {_md5_u60_sql(_A_SALT)} % 2 = 1 "
+            "THEN 2 ELSE 1 END AS mult, "
+            "CASE WHEN text IS NULL OR text = '' THEN 1 "
+            "ELSE least(octet_length(encode(text)), 2048) END AS n "
+            "FROM documents) "
+            "SELECT doc_id, CAST((mult * n + 255) // 256 AS INT) AS n_chunks, "
+            "CAST(mult * n AS BIGINT) AS total_samples "
+            "FROM a ORDER BY doc_id"
+        ),
+        # rows-only exceptions — the three honestly-APPROXIMATE
+        # operators (tuned-recall ANN and an HLL sketch have no exact
+        # SQL twin by nature; each recall/3-sigma-tested in tests/):
+        # ann_ivf_topk, ann_srp_lsh_topk, approx_distinct_users.
     }
     return _compose_combos(sql)
 

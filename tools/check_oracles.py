@@ -72,6 +72,19 @@ def main() -> None:
             report((name, "SPARK-ERROR", f"{type(exc).__name__}: {exc}"))
             continue
         if name not in oracles:
+            # the driver canonicalizes EVERY query's output — including
+            # rows-only ones — so run canon() here too (result unused):
+            # a non-sortable column (e.g. array<long>) must fail the
+            # mimic exactly like it fails the driver (r3: the mimic
+            # short-circuited before canon and passed what the driver
+            # rejected)
+            try:
+                canon(got)
+            except Exception as exc:  # noqa: BLE001
+                report(
+                    (name, "CANON-ERROR", f"{type(exc).__name__}: {exc}")
+                )
+                continue
             report(
                 (name, "ROWS-ONLY", f"{len(got)} rows, {time.time()-t0:.1f}s")
             )

@@ -32,12 +32,22 @@ META_DDL = (
 )
 
 
+def _md5_u60(col: F.Column) -> F.Column:
+    """First 60 bits of md5 as a long — the dimension-derivation hash.
+    md5 (not xxhash64) so the DuckDB oracle can recompute it:
+    ('0x' || substr(md5(x), 1, 15))::UBIGINT, the _md5_bucket idiom
+    widened to 15 hex chars. 60 bits fits signed int64 on both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def with_fake_image(docs: DataFrame) -> DataFrame:
     """Attach a deterministic binary 'image' column: header built from
     JVM-side expressions + the text payload — real binary plumbing,
-    fake codec."""
-    w = (F.pmod(F.xxhash64("doc_id"), F.lit(1920)) + 1).cast("int")
-    h = (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1080)) + 1).cast("int")
+    fake codec. Dimensions are md5-derived (doc_id for width,
+    doc_id||':h' for height) so the metadata oracle is plain SQL."""
+    sid = F.col("doc_id").cast("string")
+    w = (_md5_u60(sid) % 1920 + 1).cast("int")
+    h = (_md5_u60(F.concat(sid, F.lit(":h"))) % 1080 + 1).cast("int")
     header = F.concat(
         F.lit(MAGIC),
         F.to_binary(F.lpad(F.hex(w), 8, "0"), F.lit("hex")),
@@ -154,7 +164,7 @@ def with_fake_video(docs: DataFrame) -> DataFrame:
                 continue
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n = 2 + (hash_stable(doc_id) % 8)
+                n = 2 + hash_stable(doc_id, "v", 8)
                 payload = (text or "").encode("utf-8")[:64]
                 frames = b"".join(
                     MAGIC + struct.pack(">ii", 16 * (i + 1), 9 * (i + 1))
@@ -169,12 +179,16 @@ def with_fake_video(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=VIDEO_DDL)
 
 
-def hash_stable(doc_id) -> int:
-    """Process-independent stand-in for a frame-count hash (Python's
-    hash() is salted per process — useless across executors)."""
-    import zlib
+def hash_stable(doc_id, salt: str, m: int) -> int:
+    """Process-independent fake-metadata hash (Python's hash() is
+    salted per process — useless across executors). md5-derived, 60-bit
+    prefix mod m — byte-equal to the DuckDB oracle's
+    ('0x' || substr(md5(id || ':salt'), 1, 15))::UBIGINT % m and to the
+    JVM-side _md5_u60, so every fake-codec dimension is SQL-checkable."""
+    import hashlib
 
-    return zlib.crc32(str(doc_id).encode("utf-8"), 42)
+    h = hashlib.md5(f"{doc_id}:{salt}".encode("utf-8")).hexdigest()
+    return int(h[:15], 16) % m
 
 
 def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
@@ -361,7 +375,7 @@ def with_fake_audio(docs: DataFrame) -> DataFrame:
                 continue
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                rate = 8000 if hash_stable(doc_id) % 2 else 16000
+                rate = 8000 if hash_stable(doc_id, "a", 2) else 16000
                 pcm = (text or "x").encode("utf-8")[:2048] or b"x"
                 rows.append(
                     (

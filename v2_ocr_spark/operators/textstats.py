@@ -156,6 +156,31 @@ def fingerprints_for(d: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def rolling_fingerprint(spark, sf_dir, window: int = 8) -> DataFrame:
+    """The GATE surface of the winnowing fingerprint: scalar columns
+    only — (doc_id, n_fps, fp_digest) with fp_digest = md5 of the
+    comma-joined sorted fingerprint set. The driver canonicalizes every
+    query output by sorting ALL columns, and pandas cannot sort a list
+    column (the r3 driver failure) — so the raw array<long> set stays
+    an internal surface (rolling_fingerprint_set) and the query
+    projects it to scalars, the same idiom as _canon_spans. DuckDB twin:
+    expected-parquet from the pure-Python winnowing reimplementation
+    (fixtures/oracle_expected.py), with the md5 recomputed in DuckDB."""
+    fps = rolling_fingerprint_set(spark, sf_dir, window)
+    return fps.select(
+        "doc_id",
+        F.size("fingerprint_set").cast("int").alias("n_fps"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("fingerprint_set"), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+
+
+def rolling_fingerprint_set(spark, sf_dir, window: int = 8) -> DataFrame:
     """Winnowing-style content fingerprint: distinct minima over rolling
     windows of word-shingle hashes — shift-robust. Arrow-batched numpy
     kernel (sliding_window_view min-reduce); the Catalyst nested-slice
