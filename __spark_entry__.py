@@ -228,11 +228,13 @@ def q_conversation_near_dup(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs_for(
         doc, threshold=0.1, id_col="conv_id"
     )
+    # orderBy at the gate surface only — the operator's output order is
+    # unspecified (pipeline consumers join the pairs, never scan sorted)
     return pairs.select(
         F.col("doc_a").alias("conv_a"),
         F.col("doc_b").alias("conv_b"),
         "jaccard",
-    )
+    ).orderBy("conv_a", "conv_b")
 
 
 def q_export(spark, sf_dir):
@@ -280,7 +282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- dedup / corpus family (memoized pair/cluster caches
         # amortize within the group) ----
         "dedup_exact": dedup.exact_duplicates,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_ngram_jaccard": lambda spark, sf_dir: (
+            dedup.ngram_jaccard_pairs(spark, sf_dir)
+            .orderBy("doc_a", "doc_b")
+        ),
         "cross_source_overlap": corpus.cross_source_overlap,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -297,7 +302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_topk": similarity.brute_force_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_srp_lsh_topk": similarity.srp_lsh_topk,
-        "cosine_near_dup": similarity.cosine_near_dup_pairs,
+        "cosine_near_dup": lambda spark, sf_dir: (
+            similarity.cosine_near_dup_pairs(spark, sf_dir)
+            .orderBy("id_a", "id_b")
+        ),
         # ---- corpus / textstats singletons ----
         "vocabulary_topk": corpus.vocabulary_topk,
         "token_pack": corpus.token_pack,

@@ -13,8 +13,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_minhash_lsh_equals_exact_pairs(spark):
-    lsh = dedup.minhash_lsh_pairs(spark, SF).toPandas()
-    exact = dedup.ngram_jaccard_pairs(spark, SF).toPandas()
+    # pair-set output order is UNSPECIFIED (r4 contract) — sort here
+    lsh = (
+        dedup.minhash_lsh_pairs(spark, SF).toPandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    exact = (
+        dedup.ngram_jaccard_pairs(spark, SF).toPandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
     assert lsh[["doc_a", "doc_b"]].values.tolist() == (
         exact[["doc_a", "doc_b"]].values.tolist()
     )

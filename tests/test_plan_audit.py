@@ -113,6 +113,24 @@ def test_ngram_jaccard_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_pair_producers_bake_in_no_sort(spark):
+    """Pair-set output order is UNSPECIFIED: consumers (the composed
+    pipeline's duplicate_clusters, keeper selection) JOIN the pairs, so
+    a baked-in orderBy would pay a whole-pair-table range exchange on
+    every pipeline run for an ordering only the gate oracle needs (the
+    gate adds it at registration instead — the corpus_filter precedent
+    from round 3, extended to ngram/cosine pairs in round 4)."""
+    from v2_ocr_spark.operators import dedup, similarity
+
+    for df in (
+        dedup.ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"),
+        similarity.cosine_near_dup_pairs(spark, "/root/testdata/sf0.001"),
+    ):
+        # no global-sort exchange; (local sorts inside a sort-merge
+        # join are hashpartitioning-based and fine)
+        assert "rangepartitioning" not in plan(df)
+
+
 def test_token_pack_window_is_sub_sharded(spark):
     """Packing must never serialize a source through one task: the
     cumulative sum is two-phase — deterministic quantile shards drive

@@ -7,7 +7,13 @@ cleaning -> token packing in one job.
         --input <transcripts.parquet> --out <dir> \
         [--partitions 32] [--budget 2048] [--min-quality 0.5] \
         [--min-chars 100] [--dedup-threshold 0.5] \
+        [--shingle-n 3] [--max-df N] \
         [--dedup-method ngram|minhash] [--incremental]
+
+--max-df is the ngram path's boilerplate-shingle skew cap (the
+production knob at scale — shingles shared by more than N docs leave
+both the intersection and the union, see ngram_jaccard_pairs_for);
+unset means exact Jaccard over the full shingle universe.
 """
 
 from __future__ import annotations
@@ -25,6 +31,8 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--dedup-threshold", type=float, default=0.5)
+    ap.add_argument("--shingle-n", type=int, default=3)
+    ap.add_argument("--max-df", type=int, default=None)
     ap.add_argument(
         "--dedup-method", choices=["ngram", "minhash"], default="ngram"
     )
@@ -43,6 +51,8 @@ def main() -> None:
         min_quality=args.min_quality,
         min_chars=args.min_chars,
         dedup_threshold=args.dedup_threshold,
+        shingle_n=args.shingle_n,
+        max_df=args.max_df,
         dedup_method=args.dedup_method,
         incremental=args.incremental,
     )

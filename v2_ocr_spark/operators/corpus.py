@@ -104,9 +104,11 @@ def token_pack_for(
     numeric and UTF8 binary orders, so the CaseWhen stays monotone in
     the window's orderBy). Other id types fall back to the per-source
     window. Default calls (shards=None) ADAPTIVELY collapse to the
-    single-window plan when a bounded probe shows the input is under
-    ~10^6 rows — at that size one window task beats paying the
-    boundary jobs; passing `shards` explicitly always shards."""
+    single-window plan when the input's row count is under ~10^6 —
+    at that size one window task beats paying the boundary sample
+    job; passing `shards` explicitly always shards. (The count that
+    drives the collapse is the SAME count the sharded path needs for
+    its sample fraction — one driver job either way.)"""
     spark = docs.sparkSession
     auto = shards is None
     if auto:
@@ -131,20 +133,20 @@ def token_pack_for(
         # sizes, and a seeded 64-points-per-boundary sample balances
         # within a few percent.
         ids = docs.select("doc_id").where(F.col("doc_id").isNotNull())
-        n = 0
-        if auto and (
-            ids.limit(_SMALL_INPUT_ROWS + 1).count() <= _SMALL_INPUT_ROWS
-        ):
+        # ONE count job for both decisions: the sharding path needs n
+        # for the sample fraction anyway, so a separate LocalLimit
+        # probe before it was pure added latency exactly when sharding
+        # is taken (ADVICE r3) — and on inputs small enough to collapse
+        # the full count is itself cheap.
+        n = ids.count()
+        if auto and n <= _SMALL_INPUT_ROWS:
             # ADAPTIVE collapse, default calls only: below ~10^6 rows a
             # one-task-per-source window finishes in well under the
-            # cost of the boundary count+sample jobs, so sharding tiny
-            # inputs is pure overhead. The probe is a LocalLimit-capped
-            # scan (bounded rows per partition, doc_id column only).
-            # Explicit `shards` always shards — callers (and the plan
-            # pins) that ask for parallelism get it.
-            pass
-        else:
-            n = ids.count()
+            # cost of the boundary sample job, so sharding tiny inputs
+            # is pure overhead. Explicit `shards` always shards —
+            # callers (and the plan pins) that ask for parallelism
+            # get it.
+            n = 0
         if n:
             # ~64 sample points per boundary; collect is bounded by
             # shards x 64 ids regardless of corpus size

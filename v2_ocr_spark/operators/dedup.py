@@ -505,13 +505,19 @@ def ngram_jaccard_pairs_for(
     )
     # no broadcast hint on the per-doc count tables: one row per doc
     # means they scale with the corpus (10^12 rows is not a broadcast);
-    # AQE picks broadcast on its own when the corpus is actually small
+    # AQE picks broadcast on its own when the corpus is actually small.
+    # Output order is UNSPECIFIED (same contract as corpus_filter /
+    # dedup_keep_list): consumers JOIN the pair set — the composed
+    # pipeline feeds it straight into duplicate_clusters, and a
+    # whole-pair-table range exchange here would tax every pipeline run
+    # for an ordering only the oracle hash needs; the gate adds orderBy
+    # at registration (pinned by test_plan_audit's no-range-exchange
+    # assertion on this path)
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -662,6 +668,11 @@ def duplicate_clusters(
     not accumulate. Convergence check is a count of changed labels
     (cheap, partial-agged). DuckDB oracle: recursive CTE reachability
     over the identical exact pair set.
+
+    The returned label table is PERSISTED and materialized: on the
+    default memoized path the cluster cache owns it (released by
+    clear_pairs_cache); on the pairs=/max_iter path the CALLER owns
+    unpersisting it once downstream consumers have materialized.
     """
     cache_key = None
     if pairs is None:
@@ -735,14 +746,17 @@ def duplicate_clusters(
             break
 
     edges.unpersist()
-    result = labels.select("doc_id", "cluster_id").orderBy("doc_id")
+    # materialize the final projection, then RELEASE the loop's last
+    # labels cache — on the memoized path a leaked copy would pin two
+    # label tables per cache entry and break clear_pairs_cache's
+    # release-everything contract; on the pairs=/max_iter path (the
+    # composed pipeline) a leaked labels cache had NO owner at all and
+    # outlived every run in the session (ADVICE r3). Either way the
+    # CALLER (or the cache) owns unpersisting the returned DataFrame —
+    # compose releases it once filter decisions are materialized.
+    result = labels.select("doc_id", "cluster_id").orderBy("doc_id").persist()
+    result.count()
+    labels.unpersist()
     if cache_key is not None:
-        # cache the final projection, then RELEASE the loop's last
-        # labels cache — otherwise every cache entry pins two copies
-        # of the label table and clear_pairs_cache (which only sees
-        # `result`) could never honor its release-everything contract
-        result = result.persist()
-        result.count()
-        labels.unpersist()
         _CLUSTERS_CACHE[cache_key] = result
     return result

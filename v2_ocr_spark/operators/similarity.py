@@ -210,11 +210,13 @@ def cosine_near_dup_pairs(
                 }
             )
 
+    # output order UNSPECIFIED (consumers join; the gate adds orderBy
+    # at registration) — harmless at this operator's size cap, but the
+    # same no-baked-sort contract as the other pair producers
     return (
         emb.select("vec_id", "embedding")
         .mapInPandas(block_pairs, schema="id_a long, id_b long, cosine double")
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
     )
 
 

@@ -102,6 +102,13 @@ def run_extract_clean_pipeline(
         F.col("document_text").alias("text"),
         F.lit("transcripts").alias("source"),
     ).persist()
+    # every persisted intermediate this job OWNS is released on every
+    # exit path — pairs (minhash hands back a persisted set) and the
+    # cluster label table are created INSIDE the try so a failure in
+    # any cleaning stage cannot leak them in executor storage for the
+    # rest of a long-lived session (ADVICE r3)
+    pairs = None
+    clusters = None
     try:
         # near-dup pair finding: 'ngram' is the EXACT inverted-index
         # path (default; sum-of-df^2 cost, max_df skew cap available);
@@ -131,12 +138,17 @@ def run_extract_clean_pipeline(
             )
         finally:
             decisions.unpersist()
-            if dedup_method == "minhash":
-                # minhash_lsh_pairs_for hands back a persisted pair set
-                # (the memoizing fixture wrapper owns its copies; here
-                # the composed job does)
-                pairs.unpersist()
     finally:
+        if clusters is not None:
+            # the pairs= path hands back a persisted label table the
+            # caller owns (duplicate_clusters docstring)
+            clusters.unpersist()
+        if dedup_method == "minhash" and pairs is not None:
+            # minhash_lsh_pairs_for hands back a persisted pair set
+            # (the memoizing fixture wrapper owns its copies; here
+            # the composed job does). The ngram path is lazy — nothing
+            # to release.
+            pairs.unpersist()
         docs.unpersist()
 
     metrics = [c.get("metrics", {}) for c in job.sink.committed().values()]
