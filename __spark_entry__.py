@@ -196,6 +196,58 @@ def q_conversation_dedup(spark, sf_dir):
     )
 
 
+# assembled-conversation corpus + its exact near-dup pair set, shared
+# by conversation_near_dup and pipeline_clean_pack — memoized per
+# (session, input) like _EXTRACT_CACHE so the two gate entries pay the
+# shingle inverted index ONCE (same reuse a production pipeline gets)
+_CONV_CORPUS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _conv_corpus(spark, sf_dir):
+    """-> (docs, pairs): docs = (doc_id, text, source) assembled
+    conversations with whitespace-NORMALIZED text (collapse
+    [ \\t\\n\\f\\r]+ runs, trim, drop empty conversations — the
+    standard near-dup canonicalization, and it makes conversation
+    tokens equal to the concatenation of per-turn tokens, which is
+    what lets the DuckDB oracle shingle from TURN-level rows:
+    per-element lambdas over a 130k-token whole-conversation list are
+    quadratic in DuckDB, while turn-level lists stay small and a
+    window supplies the cross-turn shingles); pairs = exact ngram
+    Jaccard >= 0.1 over docs. Both persisted."""
+    from v2_ocr_spark.operators.dedup import input_signature
+
+    d = _data_dir(sf_dir)
+    key = (
+        spark.sparkContext.applicationId, d,
+        input_signature(f"{d}/transcripts.parquet"),
+    )
+    if key not in _CONV_CORPUS_CACHE:
+        out = _extracted(spark, sf_dir)
+        docs = (
+            assemble(out, chunk_size=256)
+            .select(
+                F.col("conv_id").alias("doc_id"),
+                F.trim(
+                    F.regexp_replace("document_text", "[ \t\n\f\r]+", " ")
+                ).alias("text"),
+                F.lit("transcripts").alias("source"),
+            )
+            .where(F.length("text") > 0)
+            .persist()
+        )
+        # localCheckpoint, not persist: the pair set feeds
+        # duplicate_clusters' iterative joins in pipeline_clean_pack,
+        # and each iteration would re-embed the full extraction ->
+        # assembly -> inverted-index lineage — the plan STRING alone
+        # OOMs the driver when AQE renders it (the compose.py
+        # stage-boundary lesson, in-memory form). Checkpointing
+        # truncates the plan at the materialized pairs.
+        pairs = dedup.ngram_jaccard_pairs_for(docs, threshold=0.1)
+        pairs = pairs.localCheckpoint(eager=True)
+        _CONV_CORPUS_CACHE[key] = (docs, pairs)
+    return _CONV_CORPUS_CACHE[key]
+
+
 def q_conversation_near_dup(spark, sf_dir):
     """Near-duplicate CONVERSATIONS: exact word-shingle Jaccard over
     the ASSEMBLED conversation text — catches template/boilerplate
@@ -204,30 +256,8 @@ def q_conversation_near_dup(spark, sf_dir):
     Threshold 0.1 here: the fixture generator plants no high-similarity
     conversation pairs (corpus max J = 0.182), and a verified non-empty
     pair set is a stronger gate check than an agreed-empty one; real
-    dedup pipelines run 0.7-0.9 on the same operator.
-
-    The text is whitespace-NORMALIZED first (collapse [ \\t\\n\\f\\r]+
-    runs, trim, drop empty conversations) — the standard near-dup
-    canonicalization, and it makes conversation tokens equal to the
-    concatenation of per-turn tokens, which is what lets the DuckDB
-    oracle shingle from TURN-level rows: per-element lambdas over a
-    130k-token whole-conversation list are quadratic in DuckDB (the
-    skew conversation hangs it), while turn-level lists stay small and
-    a window supplies the cross-turn shingles."""
-    out = _extracted(spark, sf_dir)
-    doc = (
-        assemble(out, chunk_size=256)
-        .select(
-            "conv_id",
-            F.trim(
-                F.regexp_replace("document_text", "[ \t\n\f\r]+", " ")
-            ).alias("text"),
-        )
-        .where(F.length("text") > 0)
-    )
-    pairs = dedup.ngram_jaccard_pairs_for(
-        doc, threshold=0.1, id_col="conv_id"
-    )
+    dedup pipelines run 0.7-0.9 on the same operator."""
+    _, pairs = _conv_corpus(spark, sf_dir)
     # orderBy at the gate surface only — the operator's output order is
     # unspecified (pipeline consumers join the pairs, never scan sorted)
     return pairs.select(
@@ -235,6 +265,50 @@ def q_conversation_near_dup(spark, sf_dir):
         F.col("doc_b").alias("conv_b"),
         "jaccard",
     ).orderBy("conv_a", "conv_b")
+
+
+def q_pipeline_clean_pack(spark, sf_dir):
+    """The composed FLAGSHIP tail as one driver-verifiable row set:
+    extraction -> assembly -> conversation-level near-dup keeper ->
+    corpus filter (quality + language + length) -> token packing of the
+    survivors — run_extract_clean_pipeline's cleaning stages
+    (pipeline/compose.py) over the same memoized extraction the other
+    gate queries consume, minus only the sink machinery (gate queries
+    must stay side-effect-free). One row per non-empty conversation:
+    the filter decision columns plus, for kept conversations, their
+    position in the packed token stream (NULL pack columns = dropped).
+    The DuckDB twin recomputes the ENTIRE tail — turn-level shingles,
+    recursive-CTE transitive closure, the same quality/lang SQL the
+    corpus_filter oracle uses, and the running-sum pack window."""
+    docs, pairs = _conv_corpus(spark, sf_dir)
+    clusters = dedup.duplicate_clusters(spark, None, pairs=pairs)
+    try:
+        # STAGE BOUNDARIES, in-memory form: compose.py re-reads the
+        # clean/ parquet between filter and pack because carrying the
+        # dedup-closure lineage into token_pack's two prefix-sum
+        # branches explodes the logical plan (measured driver OOM just
+        # analyzing it — CLAUDE.md). A gate query must stay
+        # side-effect-free, so localCheckpoint is the parquet-less
+        # equivalent: it truncates the plan at the materialized result.
+        cl = clusters.localCheckpoint(eager=True)
+        keep = dedup.dedup_keep_list_for(docs, cl)
+        decisions = corpus.corpus_filter_for(docs, keep).localCheckpoint(
+            eager=True
+        )
+        kept = docs.join(
+            decisions.where(F.col("keep")).select("doc_id"), "doc_id"
+        )
+        packed = corpus.token_pack_for(kept, budget=2048)
+        return decisions.join(
+            packed.select("doc_id", "n_tokens", "start_token", "bin"),
+            "doc_id",
+            "left",
+        ).orderBy("doc_id")
+    finally:
+        # the pairs= path hands back a persisted label table the caller
+        # owns (duplicate_clusters docstring); the shared docs/pairs
+        # stay cached for the sibling gate query
+        clusters.unpersist()
 
 
 def q_export(spark, sf_dir):
@@ -298,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id"),
         "corpus_filter_stats": corpus.corpus_filter_stats,
         "conversation_near_dup": q_conversation_near_dup,
+        "pipeline_clean_pack": q_pipeline_clean_pack,
         # ---- similarity (embeddings table) ----
         "ann_brute_force_topk": similarity.brute_force_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -447,37 +522,56 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conversation_near_dup": (
             # turn-level tokenization + a per-conversation window builds
-            # the cross-turn shingles — whole-conversation lists would
-            # be quadratic in DuckDB's per-element lambdas (the 130k-
-            # token skew conversation hangs them); whitespace
-            # normalization makes the two tokenizations identical
-            "WITH tn AS (SELECT conv_id, turn_idx, "
-            r"regexp_replace(trim(expected_text, e' \t\n\f\r'), "
-            r"'[ \t\n\f\r]+', ' ', 'g') AS norm "
-            f"FROM {_E} WHERE expected_text IS NOT NULL), "
-            "tt AS (SELECT conv_id, turn_idx, "
-            "unnest(list_transform(string_split(norm, ' '), "
-            "(x, i) -> struct_pack(tok := x, i := i))) AS t "
-            "FROM tn WHERE length(norm) > 0), "
-            "seq AS (SELECT conv_id, t.tok, row_number() OVER "
-            "(PARTITION BY conv_id ORDER BY turn_idx, t.i) AS gi, "
-            "count(*) OVER (PARTITION BY conv_id) AS n_toks FROM tt), "
-            "sh AS (SELECT DISTINCT conv_id AS doc_id, "
-            "tok || coalesce(' ' || lead(tok, 1) OVER w, '') "
-            "|| coalesce(' ' || lead(tok, 2) OVER w, '') AS shingle "
-            "FROM seq WINDOW w AS (PARTITION BY conv_id ORDER BY gi) "
-            "QUALIFY gi <= greatest(n_toks - 2, 1)), "
-            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
-            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-            "pairs AS (SELECT doc_a, doc_b, "
-            "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
-            "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
-            "JOIN cnt cb ON cb.doc_id = doc_b "
-            "WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.1) "
+            # the cross-turn shingles (shared CTE chain, see
+            # _CONV_PAIR_CTES) — whole-conversation lists would be
+            # quadratic in DuckDB's per-element lambdas
+            "WITH " + _CONV_PAIR_CTES + " "
             "SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard "
             "FROM pairs ORDER BY conv_a, conv_b"
+        ),
+        "pipeline_clean_pack": (
+            # the composed flagship tail, recomputed END TO END in SQL:
+            # shared conversation pair CTEs -> recursive transitive
+            # closure (the _CLUSTERS_CTES pattern) -> normalized
+            # assembled text per conversation (string_agg of per-turn
+            # norms == normalize(assembled), the equivalence the
+            # conversation_near_dup oracle already rests on) -> the
+            # SAME quality/lang SQL the corpus_filter oracle uses ->
+            # running-sum pack window over the kept set
+            "WITH RECURSIVE " + _CONV_PAIR_CTES + ", "
+            "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            "reach AS (SELECT src AS doc_id, src AS reach FROM edges "
+            "UNION SELECT e.src, r.reach FROM edges e "
+            "JOIN reach r ON e.dst = r.doc_id), "
+            "clusters AS (SELECT doc_id, min(reach) AS cluster_id "
+            "FROM reach GROUP BY doc_id), "
+            "d2 AS (SELECT conv_id AS doc_id, "
+            "string_agg(norm, ' ' ORDER BY turn_idx) AS text "
+            "FROM tn WHERE length(norm) > 0 GROUP BY conv_id), "
+            f"q AS ({_quality_sql('d2', 'doc_id')}), "
+            f"l AS ({_lang_id_sql('d2', 'doc_id')}), "
+            "dec AS (SELECT d.doc_id, l.pred_lang, q.quality, "
+            "CASE WHEN length(d.text) < 100 THEN 'too_short' "
+            "WHEN l.pred_lang NOT IN ('en','de','fr','es') THEN 'lang' "
+            "WHEN q.quality < 0.5 THEN 'low_quality' "
+            "WHEN NOT (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) "
+            "THEN 'near_duplicate' ELSE 'kept' END AS reason "
+            "FROM d2 d LEFT JOIN clusters c USING (doc_id) "
+            "JOIN q ON q.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id), "
+            "tok AS (SELECT d.doc_id, "
+            r"len(regexp_extract_all(d.text, '\p{L}+|\d+|[^\p{L}\d\s]+')) "
+            "AS n_tokens FROM d2 d "
+            "JOIN dec ON dec.doc_id = d.doc_id AND dec.reason = 'kept'), "
+            "pack AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+            "CAST(sum(n_tokens) OVER pw - n_tokens AS BIGINT) AS start_token, "
+            "CAST(floor((sum(n_tokens) OVER pw - n_tokens) / 2048) AS INT) "
+            "AS bin FROM tok WINDOW pw AS (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT dec.doc_id, dec.pred_lang, dec.quality, dec.reason, "
+            "dec.reason = 'kept' AS keep, "
+            "pack.n_tokens, pack.start_token, pack.bin "
+            "FROM dec LEFT JOIN pack USING (doc_id) ORDER BY dec.doc_id"
         ),
         "export_documents": (
             f"WITH n AS (SELECT conv_id, count(*) AS cnt FROM {_E} GROUP BY conv_id), "
@@ -1129,6 +1223,45 @@ _CLUSTERS_CTES = (
 )
 
 _CLUSTERS_SQL = _CLUSTERS_CTES + " SELECT doc_id, cluster_id FROM clusters"
+
+# conversation-level near-dup pair CTE chain over the expected turns
+# (shared by conversation_near_dup and pipeline_clean_pack): per-turn
+# whitespace normalization, turn-level tokens, a per-conversation
+# window for cross-turn shingles, inverted-index Jaccard >= 0.1.
+# Turn-level on purpose — per-element lambdas over a 130k-token
+# whole-conversation list are quadratic in DuckDB (the skew
+# conversation hangs them) while turn-level lists stay small.
+# MATERIALIZED on tn/sh/pairs (and edges in the pipeline twin):
+# DuckDB inlines CTEs per REFERENCE, so the recursive closure
+# re-derived the whole shingle chain every iteration — measured
+# 82 s -> 1.6 s for the pipeline_clean_pack oracle at sf0.01.
+_CONV_PAIR_CTES = (
+    "tn AS MATERIALIZED (SELECT conv_id, turn_idx, "
+    r"regexp_replace(trim(expected_text, e' \t\n\f\r'), "
+    r"'[ \t\n\f\r]+', ' ', 'g') AS norm "
+    f"FROM {_E} WHERE expected_text IS NOT NULL), "
+    "tt AS (SELECT conv_id, turn_idx, "
+    "unnest(list_transform(string_split(norm, ' '), "
+    "(x, i) -> struct_pack(tok := x, i := i))) AS t "
+    "FROM tn WHERE length(norm) > 0), "
+    "seq AS (SELECT conv_id, t.tok, row_number() OVER "
+    "(PARTITION BY conv_id ORDER BY turn_idx, t.i) AS gi, "
+    "count(*) OVER (PARTITION BY conv_id) AS n_toks FROM tt), "
+    "sh AS MATERIALIZED (SELECT DISTINCT conv_id AS doc_id, "
+    "tok || coalesce(' ' || lead(tok, 1) OVER w, '') "
+    "|| coalesce(' ' || lead(tok, 2) OVER w, '') AS shingle "
+    "FROM seq WINDOW w AS (PARTITION BY conv_id ORDER BY gi) "
+    "QUALIFY gi <= greatest(n_toks - 2, 1)), "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS MATERIALIZED (SELECT doc_a, doc_b, "
+    "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
+    "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
+    "JOIN cnt cb ON cb.doc_id = doc_b "
+    "WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.1)"
+)
 
 _KEEP_LIST_SQL = (
     _CLUSTERS_CTES + " "
