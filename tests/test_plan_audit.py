@@ -131,6 +131,23 @@ def test_pair_producers_bake_in_no_sort(spark):
         assert "rangepartitioning" not in plan(df)
 
 
+def test_pipeline_clean_pack_plan_stays_bounded(spark):
+    """The composed gate query OOMed the driver in development by
+    carrying the dedup-closure lineage into the iterative clustering
+    loop and both token_pack branches — the AQE plan STRING alone
+    exhausted the heap. localCheckpoint stage boundaries (_conv_corpus
+    pairs, clusters, decisions) truncate the lineage; this pins that
+    the final plan stays small, so a regression fails here in seconds
+    instead of as a heap OOM in the driver gate."""
+    import __spark_entry__ as em
+
+    df = em.q_pipeline_clean_pack(spark, "/root/testdata/sf0.001")
+    p = plan(df)
+    assert len(p) < 100_000, f"plan string blew up: {len(p)} chars"
+    # the checkpoint boundary is visible as LogicalRDD leaf scans
+    assert "LogicalRDD" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_token_pack_window_is_sub_sharded(spark):
     """Packing must never serialize a source through one task: the
     cumulative sum is two-phase — deterministic quantile shards drive
