@@ -135,7 +135,7 @@ def test_expected_parquet_freshness():
         sig = json.load(f)
     if not os.path.exists(sig["input"]):
         pytest.skip("driver testdata not present on this machine")
-    assert oe.input_signature(sig["input"]) == sig["input_md5"], (
+    assert oe.file_md5(sig["input"]) == sig["input_md5"], (
         "testdata documents.parquet changed since oracle expectations "
         "were generated — rerun python -m v2_ocr_spark.fixtures.oracle_expected"
     )

@@ -67,24 +67,33 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            got = fn(spark, TESTDATA).toPandas()
+            df = fn(spark, TESTDATA)
+            # the driver canonicalizes EVERY query's output by sorting
+            # all columns, and its pandas sort rejects non-scalar cells
+            # (r3: rolling_fingerprint's array<long> hard-errored the
+            # driver while this mimic passed it). Checking the SPARK
+            # schema is the only reliable mimic: canon() here
+            # stringifies object cells first, so calling it would NOT
+            # reproduce the driver's failure.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                report(
+                    (name, "NON-SCALAR-SCHEMA",
+                     f"driver canon cannot sort {complex_cols} — project "
+                     "to scalars (digest/concat_ws) at the query surface")
+                )
+                continue
+            got = df.toPandas()
         except Exception as exc:  # noqa: BLE001
             report((name, "SPARK-ERROR", f"{type(exc).__name__}: {exc}"))
             continue
         if name not in oracles:
-            # the driver canonicalizes EVERY query's output — including
-            # rows-only ones — so run canon() here too (result unused):
-            # a non-sortable column (e.g. array<long>) must fail the
-            # mimic exactly like it fails the driver (r3: the mimic
-            # short-circuited before canon and passed what the driver
-            # rejected)
-            try:
-                canon(got)
-            except Exception as exc:  # noqa: BLE001
-                report(
-                    (name, "CANON-ERROR", f"{type(exc).__name__}: {exc}")
-                )
-                continue
             report(
                 (name, "ROWS-ONLY", f"{len(got)} rows, {time.time()-t0:.1f}s")
             )

@@ -35,7 +35,13 @@ import zlib
 from v2_ocr_spark.kernels.xxh import xxh64_str
 
 TESTDATA_SF = "/root/testdata/sf0.01"
-OUT_DIR = "/root/repo/data/oracle"
+# resolve through the SAME env var every reader uses
+# (__spark_entry__.REPO_DATA, tests/test_oracle_expected.ORACLE_DIR) —
+# a hardcoded path would make regeneration under V2OCR_DATA_DIR write
+# where nothing reads
+OUT_DIR = os.path.join(
+    os.environ.get("V2OCR_DATA_DIR", "/root/repo/data"), "oracle"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +104,11 @@ def dhash64(text: str) -> int | None:
 # generation
 # ---------------------------------------------------------------------------
 
-def input_signature(path: str) -> str:
+def file_md5(path: str) -> str:
+    """Content digest of one file — the freshness pin. (NOT the stat
+    tuple dedup.input_signature() returns; distinct name on purpose —
+    the two have incompatible semantics and the memo caches must keep
+    mtime-based invalidation.)"""
     md5 = hashlib.md5()
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
@@ -166,7 +176,7 @@ def generate(out_dir: str = OUT_DIR, sf_dir: str = TESTDATA_SF) -> dict:
 
     sig = {
         "input": src,
-        "input_md5": input_signature(src),
+        "input_md5": file_md5(src),
         "n_docs": len(docs),
         "n_simhash": len(sim_rows),
         "n_dhash": len(dh_rows),
