@@ -232,6 +232,26 @@ def test_duplicate_clusters_transitive(spark):
         assert lab == min(docs)
 
 
+def test_duplicate_clusters_long_chain(spark):
+    """Worst-case topology: one diameter-63 path component. Pins two
+    scale fixes at once — (a) per-iteration localCheckpoint (without
+    it the loop's logical plan DOUBLES per round and rendering the
+    convergence count's AQE plan string OOMed the driver at sf0.1;
+    plain min-label needs 63 rounds here, 2^63 plan copies) and
+    (b) pointer jumping (label <- label(label)), which closes the
+    chain in ~6 rounds instead of 63 — the runtime difference between
+    this test passing in seconds and hanging."""
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(63)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    labels = dedup.duplicate_clusters(spark, None, pairs=chain)
+    rows = labels.collect()
+    labels.unpersist()  # pairs= path: the caller owns the result
+    assert len(rows) == 64
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
 def test_approx_distinct_within_tolerance(spark):
     from v2_ocr_spark.operators import relational
 

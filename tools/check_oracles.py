@@ -3,11 +3,18 @@ __spark_entry__.queries() entry against its oracle_sql() twin in DuckDB
 at sf0.01 and compare row count + schema + order-insensitive values.
 
 Usage: python tools/check_oracles.py [query ...]
+
+ORACLE_SF_DIR overrides the data dir (default sf0.01 — what the driver
+uses). Running at sf0.1 is a scale-robustness check the driver never
+performs; the four expected-parquet oracles (rolling_fingerprint,
+dedup_simhash, multimodal_image_dhash/_near_dup) are pinned to sf0.01
+input and are skipped automatically on any other dir.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -16,7 +23,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-TESTDATA = "/root/testdata/sf0.01"
+TESTDATA = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -65,6 +72,20 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        sf_name = TESTDATA.rstrip("/").rsplit("/", 1)[-1]
+        if sf_name != "sf0.01":
+            if "data/oracle" in oracles.get(name, ""):
+                report(
+                    (name, "SKIP", "expected-parquet oracle pinned to sf0.01")
+                )
+                continue
+            # transcripts-fixture oracles hardcode the repo fixture dir
+            # (the driver's DuckDB session only registers testdata
+            # views); retarget them to the matching fixture scale.
+            if name in oracles:
+                oracles[name] = oracles[name].replace(
+                    "/root/repo/data/sf0.01/", f"/root/repo/data/{sf_name}/"
+                )
         t0 = time.time()
         try:
             df = fn(spark, TESTDATA)
@@ -135,7 +156,7 @@ def main() -> None:
             )
 
     spark.stop()
-    n_ok = sum(1 for r in results if r[1] in ("OK", "ROWS-ONLY"))
+    n_ok = sum(1 for r in results if r[1] in ("OK", "ROWS-ONLY", "SKIP"))
     print(f"\n{n_ok}/{len(results)} OK")
     if n_ok < len(results):
         sys.exit(1)

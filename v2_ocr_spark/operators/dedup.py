@@ -653,19 +653,31 @@ def duplicate_clusters(
     The step after pair-finding in a real dedup pipeline: pairs say
     "these two match"; keeping one canonical doc per GROUP needs the
     transitive closure. Min-label propagation (each node repeatedly
-    takes the min label among itself and its neighbors) converges in
-    O(component diameter) iterations — near-dup components are shallow
-    (dup clusters, not long chains), so this loops 2-4 times in
-    practice. The loop runs TO CONVERGENCE by default (provably
-    terminates in <= component-diameter rounds) so output always equals
+    takes the min label among itself and its neighbors) PLUS pointer
+    jumping (then follows that label one more hop: label <- label of
+    label) converges in O(log component-diameter) iterations — shallow
+    dup clusters close in 2-3 rounds, and even a diameter-31 chain
+    component (observed at sf0.1, threshold 0.1) closes in ~6. The
+    loop runs TO CONVERGENCE by default (provably terminates — labels
+    are monotone decreasing over a finite set) so output always equals
     the exact transitive closure the DuckDB oracle computes — a fixed
     cap would silently split long chain components; pass max_iter only
     to bound latency when approximate clusters are acceptable.
 
     Scale notes: each iteration is one broadcast-or-shuffle join of the
     edge list against the (small: only docs that appear in ANY pair)
-    label table, with the previous iteration unpersisted — state does
-    not accumulate. Convergence check is a count of changed labels
+    label table. Each iteration's labels are localCheckpoint(eager)ed,
+    NOT merely persisted: ``new_labels`` references ``labels`` twice
+    (directly and through ``neighbor_min``), so without a lineage cut
+    the logical plan DOUBLES per iteration — at sf0.1 the convergence
+    count's AQE plan string alone OOMed the driver heap around
+    iteration ~10 while sf0.01 converged before the blow-up (caught by
+    the sf0.1 oracle sweep; persist caches data but never truncates
+    plans). Checkpointed iterations keep the plan constant-size; the
+    superseded iteration's blocks are released by the ContextCleaner
+    once the loop drops its reference (unpersist() is a no-op on
+    checkpoint blocks — label tables are small, bounded by docs that
+    appear in any pair). Convergence check is a count of changed labels
     (cheap, partial-agged). DuckDB oracle: recursive CTE reachability
     over the identical exact pair set.
 
@@ -723,16 +735,33 @@ def duplicate_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        relabeled = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label <- label(label). Labels are always node
+        # ids (initially self; thereafter minima of labels), so the
+        # label table can look itself up — total inner join. One extra
+        # small self-join per round turns O(diameter) convergence into
+        # O(log diameter): the sf0.1 conversation graph at threshold
+        # 0.1 has a diameter-31 chain component (31 rounds, 37 s);
+        # jumped it converges in ~6. At 100 TB chain-y graphs this is
+        # the difference between feasible and not.
+        # localCheckpoint, not persist: cut the doubling lineage at the
+        # materialized iteration result (see Scale notes above).
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+            relabeled.join(
+                relabeled.select(
+                    F.col("doc_id").alias("_target"),
+                    F.col("cluster_id").alias("_jump"),
+                ),
+                F.col("cluster_id") == F.col("_target"),
             )
-            .persist()
+            .select("doc_id", F.col("_jump").alias("cluster_id"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -740,7 +769,7 @@ def duplicate_clusters(
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
+        labels.unpersist()  # releases iteration 0's cache; no-op after
         labels = new_labels
         if changed == 0:
             break
