@@ -9,6 +9,9 @@ runs the production paths end to end:
   * minhash_lsh_pairs on 100k docs (signature pass, banded bucket
     join with the max_bucket guardrail, chunked pair fan-out,
     candidate-proportional exact verify)
+  * duplicate_clusters on the resulting ~1M-pair graph (pointer-
+    jumped min-label propagation; every 20-replica group must land in
+    one cluster)
   * srp_lsh_topk on 40k vectors (BLAS signature pass, bucket
     equi-join, exact re-rank)
 
@@ -68,6 +71,23 @@ def main() -> None:
     # (groups of REPL identical docs -> C(REPL,2) pairs each, minus
     # any group dropped by the degenerate-bucket guardrail)
     expected_min = int(0.9 * n_docs * REPL * (REPL - 1) / 2)
+
+    # ---- clustering stress: transitive closure over the ~1M pairs ----
+    t0 = time.perf_counter()
+    clusters = dedup.duplicate_clusters(spark, None, pairs=pairs)
+    n_nodes = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    # every 20-replica group is all-pairs similar, so its members must
+    # share one label (near-dup edges may merge groups, never split)
+    groups_split = (
+        clusters.withColumn("orig", F.col("doc_id") % F.lit(10_000_000))
+        .groupBy("orig")
+        .agg(F.countDistinct("cluster_id").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    t_clusters = time.perf_counter() - t0
+    clusters.unpersist()  # pairs= path: the caller owns the result
     pairs.unpersist()
 
     # ---- ANN stress: replicated vectors, exact-duplicate neighbors ----
@@ -84,6 +104,11 @@ def main() -> None:
         "dedup_pairs_expected_min": expected_min,
         "dedup_recall_ok": n_pairs >= expected_min,
         "dedup_sec": round(t_dedup, 1),
+        "cluster_nodes": n_nodes,
+        "n_clusters": n_clusters,
+        "cluster_groups_split": groups_split,
+        "clusters_ok": groups_split == 0,
+        "clusters_sec": round(t_clusters, 1),
         "n_vectors": n_emb * REPL,
         "ann_rows": n_topk,
         "ann_sec": round(t_ann, 1),
