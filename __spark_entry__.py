@@ -362,8 +362,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cross_source_overlap": corpus.cross_source_overlap,
         "dedup_simhash": dedup.simhash_pairs,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_clusters": dedup.duplicate_clusters,
+        "dedup_minhash_lsh": lambda spark, sf_dir: (
+            dedup.minhash_lsh_pairs(spark, sf_dir)
+            .orderBy("doc_a", "doc_b")
+        ),
+        "dedup_clusters": lambda spark, sf_dir: (
+            dedup.duplicate_clusters(spark, sf_dir).orderBy("doc_id")
+        ),
         "dedup_keep_list": lambda spark, sf_dir: dedup.dedup_keep_list(
             spark, sf_dir
         ).orderBy("doc_id"),

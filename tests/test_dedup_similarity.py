@@ -716,7 +716,11 @@ def test_minhash_lsh_pairs_for_string_ids(spark):
     )
     pairs_df = dedup.minhash_lsh_pairs_for(docs, threshold=0.5)
     try:
-        got = pairs_df.toPandas()
+        # pair-set output order is UNSPECIFIED (r4 contract) — sort here
+        got = (
+            pairs_df.toPandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
         exact = (
             dedup.ngram_jaccard_pairs_for(docs, threshold=0.5)
             .orderBy("doc_a", "doc_b")

@@ -119,12 +119,18 @@ def test_pair_producers_bake_in_no_sort(spark):
     a baked-in orderBy would pay a whole-pair-table range exchange on
     every pipeline run for an ordering only the gate oracle needs (the
     gate adds it at registration instead — the corpus_filter precedent
-    from round 3, extended to ngram/cosine pairs in round 4)."""
+    from round 3, extended to ngram/cosine pairs in round 4, then to
+    the minhash pair set and the cluster label table late in round 4;
+    for the persisted producers the cached plan prints inside the
+    InMemoryRelation block, so the assertion still sees a baked-in
+    sort)."""
     from v2_ocr_spark.operators import dedup, similarity
 
     for df in (
         dedup.ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"),
         similarity.cosine_near_dup_pairs(spark, "/root/testdata/sf0.001"),
+        dedup.minhash_lsh_pairs(spark, "/root/testdata/sf0.001"),
+        dedup.duplicate_clusters(spark, "/root/testdata/sf0.001"),
     ):
         # no global-sort exchange; (local sorts inside a sort-merge
         # join are hashpartitioning-based and fine)

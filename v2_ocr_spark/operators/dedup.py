@@ -358,7 +358,11 @@ def minhash_lsh_pairs_for(
     materialized pair set (same candidates-then-exact-verify contract);
     no memoization — callers that re-consume it across stages own the
     cache (the fixture wrapper minhash_lsh_pairs memoizes per content
-    signature)."""
+    signature). Output order is UNSPECIFIED (r4 contract, same as the
+    ngram/cosine pair producers): consumers JOIN the pairs, and a
+    baked-in orderBy would range-exchange the whole pair table — at
+    100 TB that table can be billions of rows — for an ordering only
+    the gate oracle needs; the gate adds it at registration."""
     # docs feed both the signature pass and the verify join-back;
     # respect a caller's existing persist (compose persists the
     # assembled conversations for the whole cleaning tail — yanking
@@ -376,7 +380,6 @@ def minhash_lsh_pairs_for(
     result = (
         verified.where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
         .persist()
     )
     # materialize the (small) final pair set, then release every
@@ -685,6 +688,11 @@ def duplicate_clusters(
     default memoized path the cluster cache owns it (released by
     clear_pairs_cache); on the pairs=/max_iter path the CALLER owns
     unpersisting it once downstream consumers have materialized.
+    Output order is UNSPECIFIED (r4 contract): keeper selection and
+    the composed pipeline JOIN the labels, so a baked-in orderBy would
+    range-exchange the whole label table — bounded by docs-in-any-pair,
+    still potentially billions at 100 TB — for an ordering only the
+    gate oracle needs; the gate adds it at registration.
     """
     cache_key = None
     if pairs is None:
@@ -783,7 +791,7 @@ def duplicate_clusters(
     # outlived every run in the session (ADVICE r3). Either way the
     # CALLER (or the cache) owns unpersisting the returned DataFrame —
     # compose releases it once filter decisions are materialized.
-    result = labels.select("doc_id", "cluster_id").orderBy("doc_id").persist()
+    result = labels.select("doc_id", "cluster_id").persist()
     result.count()
     labels.unpersist()
     if cache_key is not None:
