@@ -74,7 +74,10 @@ def main() -> None:
             continue
         sf_name = TESTDATA.rstrip("/").rsplit("/", 1)[-1]
         if sf_name != "sf0.01":
-            if "data/oracle" in oracles.get(name, ""):
+            # fixture/oracle paths follow V2OCR_DATA_DIR, not a literal
+            # /root/repo/data — build both prefixes from REPO_DATA so an
+            # overridden data dir still skips/retargets correctly.
+            if f"{entry_mod.REPO_DATA}/oracle" in oracles.get(name, ""):
                 report(
                     (name, "SKIP", "expected-parquet oracle pinned to sf0.01")
                 )
@@ -84,7 +87,8 @@ def main() -> None:
             # views); retarget them to the matching fixture scale.
             if name in oracles:
                 oracles[name] = oracles[name].replace(
-                    "/root/repo/data/sf0.01/", f"/root/repo/data/{sf_name}/"
+                    f"{entry_mod.REPO_DATA}/sf0.01/",
+                    f"{entry_mod.REPO_DATA}/{sf_name}/",
                 )
         t0 = time.time()
         try:

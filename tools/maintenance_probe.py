@@ -82,13 +82,14 @@ def main() -> None:
             F.expr("percentile_approx(created_at, 0.5)").alias("m")
         ).collect()[0].m
     )
-    old = convs.where(
+    # no driver-side collect of the key list: 'old' derives from the
+    # conversations dim parquet (no sink rewrite invalidates it), so it
+    # feeds both the expected-drop count and the post-rewrite resurrect
+    # check directly — collecting every pre-cutoff id is exactly the
+    # driver OOM pattern delete_conversation_keys forbids
+    old_keys = convs.where(
         F.col("created_at") < F.lit(cutoff + "+00:00").cast("timestamp")
     ).select("conv_id")
-    old_ids = [r.conv_id for r in old.collect()]
-    old_keys = spark.createDataFrame(
-        [(c,) for c in old_ids], "conv_id string"
-    )
     exp_drop = after.join(old_keys, "conv_id").count()
     t0 = time.perf_counter()
     M.retention_cleanup(spark, out, convs, cutoff)

@@ -113,6 +113,11 @@ def main() -> None:
         "ann_rows": n_topk,
         "ann_sec": round(t_ann, 1),
     }))
+    # assert the invariants, not just report them — a regression must
+    # fail the probe's exit code, not only flip a JSON field
+    assert n_pairs >= expected_min, (n_pairs, expected_min)
+    assert groups_split == 0, groups_split
+    assert n_topk == 50, n_topk
     spark.stop()
 
 

@@ -45,13 +45,20 @@ def main() -> None:
         "conv_id", "turn_idx", "extracted_text"
     )
     n_batch = batch.count()
-    mismatches = (
-        got.select("conv_id", "turn_idx", "extracted_text")
-        .join(batch, ["conv_id", "turn_idx"])
-        .where(~got["extracted_text"].eqNullSafe(batch["extracted_text"]))
-        .count()
+    # full-outer on the key: count equality + inner-join mismatches
+    # alone cannot see OFFSETTING key-set differences (one key dropped,
+    # one spurious key added keeps n == n_batch and hides both rows
+    # from an inner join)
+    joined = got.select("conv_id", "turn_idx", "extracted_text").join(
+        batch, ["conv_id", "turn_idx"], "full_outer"
     )
-    assert n == n_batch and mismatches == 0, (n, n_batch, mismatches)
+    n_joined = joined.count()
+    mismatches = joined.where(
+        ~got["extracted_text"].eqNullSafe(batch["extracted_text"])
+    ).count()
+    assert n == n_batch and n_joined == n and mismatches == 0, (
+        n, n_batch, n_joined, mismatches,
+    )
 
     # replay: second availableNow run over the same source is a no-op
     q2 = stream_extract_upsert(spark, INPUT, out, ckpt, num_partitions=8)

@@ -743,12 +743,22 @@ def duplicate_clusters(
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        relabeled = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
+        # persisted: the pointer jump below references relabeled on
+        # BOTH sides of its self-join — unpersisted, ReuseExchange
+        # shares only the shuffle files and the post-shuffle agg +
+        # left join + projection run twice per round (at 100 TB label
+        # scale that doubles every iteration's relabel work). Released
+        # right after localCheckpoint(eager) materializes new_labels.
+        relabeled = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
         )
         # pointer jump: label <- label(label). Labels are always node
         # ids (initially self; thereafter minima of labels), so the
@@ -771,6 +781,7 @@ def duplicate_clusters(
             .select("doc_id", F.col("_jump").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
+        relabeled.unpersist()  # new_labels is materialized above
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
