@@ -570,7 +570,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN dec ON dec.doc_id = d.doc_id AND dec.reason = 'kept'), "
             "pack AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, "
             "CAST(sum(n_tokens) OVER pw - n_tokens AS BIGINT) AS start_token, "
-            "CAST(floor((sum(n_tokens) OVER pw - n_tokens) / 2048) AS INT) "
+            "CAST((sum(n_tokens) OVER pw - n_tokens) // 2048 AS BIGINT) "
             "AS bin FROM tok WINDOW pw AS (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
             "SELECT dec.doc_id, dec.pred_lang, dec.quality, dec.reason, "
@@ -936,7 +936,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens FROM documents) "
             "SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens, "
             "CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_token, "
-            "CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048) AS INT) "
+            "CAST((sum(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) "
             "AS bin FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),

@@ -108,7 +108,7 @@ def _naive_pack(docs, budget):
         )
         .select(
             "source", "doc_id", "n_tokens", "start_token",
-            F.floor(F.col("start_token") / budget).cast("int").alias("bin"),
+            F.expr(f"start_token DIV {budget}").alias("bin"),
         )
         .toPandas()
         .sort_values(["source", "doc_id"])

@@ -280,7 +280,12 @@ def test_token_pack_bins_respect_budget_and_order(spark):
     exclusive running sum in doc_id order, bins are start // budget."""
     from v2_ocr_spark.operators import corpus
 
-    out = corpus.token_pack(spark, SF, budget=100).toPandas()
+    df = corpus.token_pack(spark, SF, budget=100)
+    # bin must be BIGINT: an int32 bin wraps negative once any source
+    # exceeds budget * 2^31 tokens (~4.4e12 at budget 2048 — inside
+    # the design scale); pinned here so a cast("int") can't come back
+    assert dict(df.dtypes)["bin"] == "bigint"
+    out = df.toPandas()
     for src, g in out.groupby("source"):
         g = g.sort_values("doc_id").reset_index(drop=True)
         run = 0
@@ -319,7 +324,7 @@ def test_token_pack_two_phase_equals_single_window(spark):
         )
         .select(
             "source", "doc_id", "n_tokens", "start_token",
-            F.floor(F.col("start_token") / 100).cast("int").alias("bin"),
+            F.expr("start_token DIV 100").alias("bin"),
         )
         .toPandas()
         .sort_values(["source", "doc_id"])
@@ -597,6 +602,36 @@ def test_zero_vector_never_ranks_as_neighbor(spark, tmp_path):
     assert not bf.cosine.isna().any()        # and no NaN scores at all
     nd = similarity.cosine_near_dup_pairs(spark, d, threshold=0.0).toPandas()
     assert 99 not in set(nd.id_a) | set(nd.id_b)
+
+
+def test_nonfinite_vector_never_ranks_as_neighbor(spark, tmp_path):
+    """Review regression (r4): a vector containing NaN/Inf/NULL
+    elements survives `exists(x != 0)` (NaN != 0 is TRUE — NaN
+    compares greater than every double in Spark) and would normalize
+    to a NaN unit vector that poisons every dot product and ranks
+    FIRST in every desc top-k window. with_unit_norm must drop it at
+    the JVM filter; _unit_pd nulls non-finite norms as defense in
+    depth."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(20):
+        rows.append((i, [float(x) for x in rng.standard_normal(8)], 0))
+    rows.append((97, [float("nan")] + [1.0] * 7, 0))
+    rows.append((98, [float("inf")] + [1.0] * 7, 0))
+    rows.append((99, [None] + [1.0] * 7, 0))
+    d = str(tmp_path / "nf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    bf = similarity.brute_force_topk(spark, d, k=3, n_queries=2).toPandas()
+    assert not {97, 98, 99} & set(bf.nbr_id)  # never neighbors
+    assert not bf.cosine.isna().any()         # and no NaN scores at all
+    srp = similarity.srp_lsh_topk(spark, d, k=3, n_queries=2).toPandas()
+    assert not {97, 98, 99} & set(srp.nbr_id)
+    assert not srp.cosine.isna().any()
 
 
 def test_ngram_jaccard_rejects_nonpositive_threshold(spark):

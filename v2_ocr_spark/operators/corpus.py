@@ -172,13 +172,17 @@ def token_pack_for(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        # bin is BIGINT via exact integer division (DIV) on the bigint
+        # start — floor(double)/cast(int) silently wraps once a source
+        # exceeds budget * 2^31 tokens (~4.4e12 at budget 2048, inside
+        # the design scale) and double division loses exactness past
+        # 2^53 tokens
         return d.select(
             "source",
             "doc_id",
             "n_tokens",
             start.cast("bigint").alias("start_token"),
-            F.floor(start / budget).cast("int").alias("bin"),
-        )
+        ).withColumn("bin", F.expr(f"start_token DIV {int(budget)}"))
     # ONE FLAT CaseWhen over literal boundaries (first match wins;
     # NESTED when/otherwise chains explode exponentially under
     # Catalyst's conditional rewrites — the CLAUDE.md CASE trap):
@@ -244,13 +248,13 @@ def token_pack_for(
         & F.col("source").eqNullSafe(F.col("_o_source")),
     )
     start = F.col("_local_start") + F.col("_offset")
+    # same exact-DIV bin as the collapsed path (see comment there)
     return out.select(
         "source",
         "doc_id",
         "n_tokens",
         start.cast("bigint").alias("start_token"),
-        F.floor(start / budget).cast("int").alias("bin"),
-    )
+    ).withColumn("bin", F.expr(f"start_token DIV {int(budget)}"))
 
 
 def corpus_filter(
@@ -395,16 +399,31 @@ def run_clean_pipeline(
         decisions.unpersist()
 
 
+def _write_summary(out_dir: str, summary: dict) -> None:
+    """Atomic summary.json swap (tmp write + rename): a crashed writer
+    can never leave a torn or partial summary behind. ONE owner — both
+    pipeline entry points write through here exactly once."""
+    import json
+    import os
+
+    tmp = f"{out_dir}/summary.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(summary, f)
+    os.replace(tmp, f"{out_dir}/summary.json")
+
+
 def _clean_pack_write(
     spark, docs: DataFrame, decisions: DataFrame, toks: DataFrame,
-    out_dir: str, budget: int,
+    out_dir: str, budget: int, extra: dict | None = None,
 ) -> dict:
     """The filter->keep->pack->write tail shared by run_clean_pipeline
     (fixture documents) and the composed transcript pipeline (assembled
     conversations). ``decisions`` should arrive persisted (it is
-    consumed by the clean join AND the stats rollup)."""
-    import json
-    import os
+    consumed by the clean join AND the stats rollup). ``extra`` keys
+    (e.g. the composed pipeline's extraction lineage) fold into the
+    summary BEFORE the single atomic write — writing a cleaning-only
+    summary first and re-writing leaves a crash window where
+    summary.json exists without the promised lineage."""
 
     kept = decisions.where(F.col("keep")).select(
         "doc_id", "pred_lang", "quality"
@@ -445,10 +464,9 @@ def _clean_pack_write(
         "kept_bins": int(n_bins),
         "budget": budget,
     }
-    tmp = f"{out_dir}/summary.json.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(summary, f)
-    os.replace(tmp, f"{out_dir}/summary.json")
+    if extra:
+        summary.update(extra)
+    _write_summary(out_dir, summary)
     return summary
 
 

@@ -88,24 +88,66 @@ def _unit_pd(a):
         return pd.Series([], dtype=object)
     m = np.stack([np.asarray(v, dtype=np.float64) for v in a])
     norms = np.linalg.norm(m, axis=1, keepdims=True)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = m / norms
     out = list(u)
-    for i in np.nonzero(norms.reshape(-1) == 0.0)[0]:
+    # zero AND non-finite norms (a NaN/Inf/NULL element) normalize to
+    # NULL — a NaN unit vector would poison every downstream dot
+    # product, and NaN ranks FIRST in Spark desc windows
+    flat = norms.reshape(-1)
+    for i in np.nonzero((flat == 0.0) | ~np.isfinite(flat))[0]:
         out[i] = None
     return pd.Series(out, index=a.index)
 
 
 def with_unit_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Pre-normalize once so cosine becomes a plain dot product.
-    Zero (and NULL) vectors are directionless and are dropped BEFORE
-    normalization with a cheap JVM `exists` predicate — filtering on
-    the UDF output would plan the Arrow eval twice (once under the
-    Filter, once under the Project; measured 2x on the brute-force
-    path). _unit_pd's NULL-for-zero fallback stays as defense in
-    depth for direct callers."""
+    Zero, NULL, and NON-FINITE vectors are directionless/corrupt and
+    are dropped BEFORE normalization with cheap JVM predicates —
+    filtering on the UDF output would plan the Arrow eval twice (once
+    under the Filter, once under the Project; measured 2x on the
+    brute-force path). The finiteness check matters for correctness,
+    not just hygiene: a single [NaN, ...] embedding would otherwise
+    survive `exists(x != 0)` (NaN != 0 is true — NaN compares GREATER
+    than every double in Spark), normalize to a NaN unit vector, and
+    rank FIRST in every desc top-k window. _unit_pd's NULL-for-
+    zero/non-finite fallback stays as defense in depth for direct
+    callers."""
     nonzero = F.exists(F.col(col), lambda x: x != 0)
-    return df.where(nonzero).withColumn("unit", _unit_pd(F.col(col)))
+    finite = F.forall(
+        F.col(col),
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+    return df.where(nonzero & finite).withColumn(
+        "unit", _unit_pd(F.col(col))
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail over a (query_id, nbr_id, cosine) scoring:
+    rank per query (desc cosine, asc nbr_id tiebreak — deterministic
+    and oracle-stable), keep k, round to the 6-decimal oracle
+    contract. ONE place owns these invariants — the NaN-safety
+    assumption (with_unit_norm makes NaN impossible upstream) and the
+    tiebreak must stay in lockstep across every ANN surface. The
+    result is k*n_queries rows, so the baked-in orderBy is a
+    driver-scale sort, not a pair-table range exchange."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "nbr_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def brute_force_topk(
@@ -129,20 +171,7 @@ def brute_force_topk(
             _dot_pd(F.col("q_unit"), F.col("nbr_unit")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("nbr_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "rank",
-            "nbr_id",
-            F.round("cosine", 6).alias("cosine"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -291,13 +320,7 @@ def ivf_topk(
             _dot_pd(F.col("q_unit"), F.col("unit")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "nbr_id", F.round("cosine", 6).alias("cosine"))
-        .orderBy("query_id", "rank")
-    )
+    return _topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +394,10 @@ def srp_lsh_topk(
     emb = with_unit_norm(_emb(spark, sf_dir)).select("vec_id", "unit")
     # the BLAS signature pass feeds BOTH sides of the bucket join —
     # persist so the corpus is signed once (same pattern as the
-    # minhash pipeline's sig.persist())
+    # minhash pipeline's sig.persist()); released below once the
+    # (small) top-k result is materialized, so no n_tables x corpus
+    # signature table outlives the call (the leak class ADVICE r3
+    # flagged on the dedup path)
     sig = srp_signatures(emb, n_tables, n_bits).persist()
     sig.count()
 
@@ -397,12 +423,10 @@ def srp_lsh_topk(
             _dot_pd(F.col("q_unit"), F.col("unit")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "nbr_id", F.round("cosine", 6).alias("cosine")
-        )
-        .orderBy("query_id", "rank")
-    )
+    # materialize the k*n_queries result, then RELEASE the signature
+    # table — returning lazily would pin n_tables x corpus rows in
+    # executor storage with no owner (callers never see `sig`)
+    result = _topk(scored, k).persist()
+    result.count()
+    sig.unpersist()
+    return result

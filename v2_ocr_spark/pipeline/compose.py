@@ -92,6 +92,21 @@ def run_extract_clean_pipeline(
         num_partitions=num_partitions,
     )
     res = job.run(incremental=incremental)
+    # extraction lineage computed NOW (the sink's committed metrics are
+    # final once run() returns) so the cleaning tail can fold it into
+    # summary.json's single atomic write — a cleaning-only summary that
+    # is later re-written would leave a crash window where the file
+    # exists without the promised extraction key
+    metrics = [c.get("metrics", {}) for c in job.sink.committed().values()]
+    extraction = {
+        "run_id": res["run_id"],
+        "status": res["status"],
+        "committed_this_run": len(res.get("committed", [])),
+        "partitions": len(metrics),
+        "turns_seen": sum(m.get("turns_seen", 0) for m in metrics),
+        "turns_errored": sum(m.get("turns_errored", 0) for m in metrics),
+        "chars_out": sum(m.get("chars_out", 0) for m in metrics),
+    }
 
     # errored turns stay rows in the extract table (P10) but carry no
     # text; the cleaning stages consume successful extractions only
@@ -134,7 +149,7 @@ def run_extract_clean_pipeline(
             summary = _clean_pack_write(
                 spark, docs, decisions,
                 token_counts_for(docs, ["doc_id"]),
-                out_dir, budget,
+                out_dir, budget, extra={"extraction": extraction},
             )
         finally:
             decisions.unpersist()
@@ -151,23 +166,4 @@ def run_extract_clean_pipeline(
             pairs.unpersist()
         docs.unpersist()
 
-    metrics = [c.get("metrics", {}) for c in job.sink.committed().values()]
-    summary["extraction"] = {
-        "run_id": res["run_id"],
-        "status": res["status"],
-        "committed_this_run": len(res.get("committed", [])),
-        "partitions": len(metrics),
-        "turns_seen": sum(m.get("turns_seen", 0) for m in metrics),
-        "turns_errored": sum(m.get("turns_errored", 0) for m in metrics),
-        "chars_out": sum(m.get("chars_out", 0) for m in metrics),
-    }
-    # re-write the summary with the extraction lineage folded in (the
-    # tail helper wrote the cleaning-only view; same atomic swap)
-    import json
-    import os
-
-    tmp = f"{out_dir}/summary.json.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(summary, f)
-    os.replace(tmp, f"{out_dir}/summary.json")
     return summary
