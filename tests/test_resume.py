@@ -288,3 +288,87 @@ def test_lease_heartbeat_survives_long_staging(job_factory):
     res = job.run(fault=slow_fault)
     assert res["status"] == "ok"
     assert seen["rival"] == "refused"
+
+
+def test_fully_emptied_sink_stays_readable_and_repopulatable(
+    spark, job_factory
+):
+    """Review regression (r4): deleting EVERY conversation leaves only
+    empty pid dirs — parquet schema inference has no footer and used to
+    raise, making a legitimately emptied table unreadable (and
+    un-repopulatable, since merge_upsert reads before it writes). The
+    schema sidecar keeps read() working."""
+    from v2_ocr_spark.pipeline.maintenance import (
+        delete_conversation_keys,
+        merge_upsert,
+    )
+
+    job = job_factory("emptyall")
+    job.run()
+    all_keys = job.read_output().select("conv_id").distinct()
+    delete_conversation_keys(spark, job.out_dir, all_keys)
+    emptied = job.read_output()
+    assert emptied.count() == 0
+    assert "extracted_text" in emptied.columns  # schema survived
+    # repopulate through the MERGE path (insert-only upsert)
+    upd = spark.createDataFrame(
+        [("convX", 0)], "conv_id string, turn_idx int"
+    ).withColumn("extracted_text", F.lit("hello"))
+    merge_upsert(spark, job.out_dir, upd)
+    back = job.read_output()
+    assert back.count() == 1
+    assert back.collect()[0].extracted_text == "hello"
+
+
+def test_merge_upsert_rejects_duplicate_keys(spark, job_factory):
+    """Review regression (r4): duplicate (conv_id, turn_idx) keys in
+    one updates batch would MULTIPLY rows through the full_outer join
+    (and compound on re-merge); Iceberg MERGE errors on multiple
+    matches — so does this."""
+    from v2_ocr_spark.pipeline.maintenance import merge_upsert
+
+    job = job_factory("dupkeys")
+    job.run()
+    some = job.read_output().limit(1).select("conv_id", "turn_idx")
+    dup = some.unionByName(some).withColumn(
+        "extracted_text", F.lit("x")
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_upsert(spark, job.out_dir, dup)
+
+
+def test_maintenance_refused_while_lease_held(spark, job_factory):
+    """Review regression (r4): every sink mutator takes the ownership
+    lease — an unleased delete racing a live run would interleave as a
+    lost update (deleted rows resurrected by a merge built from the
+    pre-delete snapshot)."""
+    from v2_ocr_spark.pipeline.maintenance import delete_conversations
+    from v2_ocr_spark.pipeline.sink import LeaseHeld, SinkLease
+
+    job = job_factory("leasemaint")
+    job.run()
+    holder = SinkLease(job.out_dir, owner="other-driver").acquire()
+    try:
+        with pytest.raises(LeaseHeld):
+            delete_conversations(spark, job.out_dir, ["conv00000001"])
+    finally:
+        holder.release()
+    # after release the same delete goes through
+    res = delete_conversations(spark, job.out_dir, ["conv00000001"])
+    assert res["rewritten"]
+
+
+def test_staging_swept_after_runs_and_crashes(job_factory):
+    """Review regression (r4): _staging must not accumulate run dirs —
+    a successful run removes its own leftover, and the next run sweeps
+    a crashed run's stranded full table copy."""
+    import os
+
+    job = job_factory("sweep")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        job.run(fail_before_promote={0})
+    # the crashed run's staged copy is still on disk right now
+    assert os.listdir(job.sink.staging_root)
+    res = job.run()
+    assert res["status"] == "ok"
+    assert os.listdir(job.sink.staging_root) == []

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from v2_ocr_spark.pipeline.runner import partition_id
-from v2_ocr_spark.pipeline.sink import MergeSink
+from v2_ocr_spark.pipeline.sink import MergeSink, held_lease
 
 
 def _affected_pids(keys: DataFrame, num_partitions: int) -> list[int]:
@@ -49,6 +49,7 @@ def _rewrite_partitions(
     num_partitions: int,
     op: str,
     recompute_pid: bool = True,
+    lease_lost=None,
 ) -> dict:
     """Copy-on-write: stage replacement files for the affected
     partitions, then promote each atomically.
@@ -63,12 +64,22 @@ def _rewrite_partitions(
     (input_rows/input_sig) — without this, the next incremental run
     would see a missing baseline, treat the partition as changed, and
     re-extract it from the raw source (resurrecting deleted
-    conversations and reverting upserts/backfills)."""
+    conversations and reverting upserts/backfills).
+
+    ``lease_lost`` (from held_lease) is checked before anything
+    publishes — promoting after a takeover would race the new owner."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
     run_id = f"{op}-{uuid.uuid4().hex[:8]}"
     if recompute_pid:
         new_rows = new_rows.withColumn(
             "pid", partition_id("conv_id", num_partitions)
         )
+    # schema sidecar BEFORE staging: a rewrite that empties every
+    # partition must leave the table readable (MergeSink.record_schema)
+    sink.record_schema(new_rows.schema)
     (
         new_rows
         .repartition("pid")
@@ -77,23 +88,39 @@ def _rewrite_partitions(
         .mode("overwrite")
         .parquet(sink.staging_dir(run_id))
     )
+    # ONE groupBy job fills every rows_after — a per-pid read+count
+    # loop would serialize up to P scheduler round-trips for a metrics
+    # field (the runner._stage_metrics trap)
+    counts: dict[int, int] = {}
+    try:
+        counts = {
+            int(r.pid): int(r.n)
+            for r in spark.read.parquet(sink.staging_dir(run_id))
+            .groupBy("pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    except AnalysisException:
+        pass  # every affected partition emptied — nothing staged
+    if lease_lost is not None and lease_lost.is_set():
+        raise RuntimeError(
+            f"sink lease for {sink.out_dir} was lost during the {op} "
+            "rewrite; refusing to promote"
+        )
     prior = sink.committed()
     committed = []
     for pid in pids:
-        n = 0
-        try:
-            n = spark.read.parquet(
-                f"{sink.staging_dir(run_id)}/pid={pid}"
-            ).count()
-        except Exception:  # noqa: BLE001 — partition emptied entirely
-            pass
-        metrics = {"op": op, "rows_after": n, "at": time.time()}
+        metrics = {"op": op, "rows_after": counts.get(pid, 0),
+                   "at": time.time()}
         prev = prior.get(pid, {}).get("metrics", {})
         for k in ("input_rows", "input_sig"):
             if k in prev:
                 metrics[k] = prev[k]
         sink.promote(run_id, pid, metrics)
         committed.append(pid)
+    # promote renamed the pid dirs out; drop the leftover run dir so
+    # maintenance never accumulates stale _staging entries
+    shutil.rmtree(sink.staging_dir(run_id), ignore_errors=True)
     return {"run_id": run_id, "rewritten": committed}
 
 
@@ -102,6 +129,8 @@ def merge_upsert(
     out_dir: str,
     updates: DataFrame,
     num_partitions: int | None = None,
+    lease: bool = True,
+    _lease_lost=None,
 ) -> dict:
     """MERGE updates INTO extracted ON (conv_id, turn_idx) —
     matched rows replaced, new rows inserted, everything idempotent.
@@ -111,9 +140,40 @@ def merge_upsert(
     silently loses rows). Upserting into a partition that extraction
     has not committed yet is refused — promoting it would publish a
     commit containing only the upsert rows, and the partition's base
-    turns would never be extracted."""
+    turns would never be extracted.
+
+    ``lease=True`` (default) takes the sink ownership lease for the
+    whole read-modify-promote — two unleased mutators hitting the same
+    pid interleave as lost updates (a concurrent delete's survivors
+    overwritten by a merge built from the pre-delete snapshot,
+    resurrecting the deleted rows). Pass lease=False ONLY from a caller
+    that already holds the lease (the streaming landing loop)."""
+    if lease:
+        with held_lease(out_dir) as (_l, lost):
+            return merge_upsert(
+                spark, out_dir, updates, num_partitions,
+                lease=False, _lease_lost=lost,
+            )
     sink = MergeSink(out_dir)
     num_partitions = sink.ensure_num_partitions(num_partitions)
+    # Iceberg MERGE errors when one target row matches several source
+    # rows; a silent full_outer join would instead MULTIPLY rows (and
+    # compound on every re-merge). Enforce source-key uniqueness up
+    # front — one agg pass over the (small) updates side.
+    dup = (
+        updates.groupBy("conv_id", "turn_idx")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        r = dup[0]
+        raise ValueError(
+            "updates contain duplicate merge keys, e.g. "
+            f"(conv_id={r['conv_id']!r}, turn_idx={r['turn_idx']}) x"
+            f"{r['count']}; dedupe the batch before merging"
+        )
     pids = _affected_pids(updates.select("conv_id").distinct(), num_partitions)
     uncommitted = sorted(set(pids) - set(sink.committed()))
     if uncommitted:
@@ -121,9 +181,10 @@ def merge_upsert(
             f"cannot upsert into unextracted partitions {uncommitted} of "
             f"{out_dir}; run the extraction job first"
         )
-    current = sink.read(spark).where(
-        partition_id("conv_id", num_partitions).isin(pids)
-    )
+    # prune on the STORED pid directory column, not a recomputed hash —
+    # a pmod(xxhash64(...)) predicate cannot map to the partition dirs,
+    # so Spark would list and scan all P partitions to rewrite one
+    current = sink.read(spark).where(F.col("pid").isin(pids))
     upd_cols = set(updates.columns) - {"conv_id", "turn_idx"}
     # Row presence, not column NULL, decides whether an update applies:
     # a matched source row replaces its columns UNCONDITIONALLY — a
@@ -152,7 +213,10 @@ def merge_upsert(
             ],
         )
     )
-    return _rewrite_partitions(spark, sink, merged, pids, num_partitions, "merge")
+    return _rewrite_partitions(
+        spark, sink, merged, pids, num_partitions, "merge",
+        lease_lost=_lease_lost,
+    )
 
 
 def delete_conversations(
@@ -160,10 +224,12 @@ def delete_conversations(
     out_dir: str,
     conv_ids: list[str],
     num_partitions: int | None = None,
+    lease: bool = True,
 ) -> dict:
     """Cascade-delete by explicit id list (the point-delete API)."""
     keys = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
-    return delete_conversation_keys(spark, out_dir, keys, num_partitions)
+    return delete_conversation_keys(spark, out_dir, keys, num_partitions,
+                                    lease=lease)
 
 
 def delete_conversation_keys(
@@ -171,6 +237,8 @@ def delete_conversation_keys(
     out_dir: str,
     keys: DataFrame,
     num_partitions: int | None = None,
+    lease: bool = True,
+    _lease_lost=None,
 ) -> dict:
     """Cascade-delete every turn of the conversations in the `keys`
     DataFrame (column conv_id).
@@ -180,7 +248,16 @@ def delete_conversation_keys(
     — a retention pass at 100 TB can match millions of conv_ids, which
     would OOM the driver and blow up the plan. The only driver-side
     materialization is the affected PARTITION id set, bounded by the
-    table's partition count regardless of key volume."""
+    table's partition count regardless of key volume.
+
+    Runs under the sink ownership lease by default (see merge_upsert —
+    unleased concurrent mutators interleave as lost updates)."""
+    if lease:
+        with held_lease(out_dir) as (_l, lost):
+            return delete_conversation_keys(
+                spark, out_dir, keys, num_partitions,
+                lease=False, _lease_lost=lost,
+            )
     sink = MergeSink(out_dir)
     num_partitions = sink.ensure_num_partitions(num_partitions)
     keys = keys.select("conv_id").distinct().persist()
@@ -188,12 +265,12 @@ def delete_conversation_keys(
         pids = _affected_pids(keys, num_partitions)
         if not pids:
             return {"run_id": None, "rewritten": []}
-        current = sink.read(spark).where(
-            partition_id("conv_id", num_partitions).isin(pids)
-        )
+        # stored-pid pruning, not a recomputed hash (see merge_upsert)
+        current = sink.read(spark).where(F.col("pid").isin(pids))
         survivors = current.join(keys, "conv_id", "left_anti")
         return _rewrite_partitions(
-            spark, sink, survivors, pids, num_partitions, "delete"
+            spark, sink, survivors, pids, num_partitions, "delete",
+            lease_lost=_lease_lost,
         )
     finally:
         keys.unpersist()
@@ -205,6 +282,7 @@ def retention_cleanup(
     conversations: DataFrame,
     cutoff: str,
     num_partitions: int | None = None,
+    lease: bool = True,
 ) -> dict:
     """Drop turns of conversations created before the cutoff timestamp
     (S8; the conversations dim supplies created_at).
@@ -226,7 +304,8 @@ def retention_cleanup(
     ).select("conv_id")
     # keys flow into the delete as a DataFrame (anti-join), never as a
     # collected id list — retention can match millions of conversations
-    return delete_conversation_keys(spark, out_dir, old, num_partitions)
+    return delete_conversation_keys(spark, out_dir, old, num_partitions,
+                                    lease=lease)
 
 
 def clear_all_data(spark: SparkSession, out_dir: str) -> dict:
@@ -274,8 +353,18 @@ def _clear_all_owned(out_dir: str) -> dict:
         ],
         "rows_cleared": rows_cleared,
     }
-    for sub in ("data", "_commits", "_checkpoints", "_staging"):
-        p = f"{out_dir}/{sub}"
+    # the sink/store objects OWN the layout — deriving the paths from
+    # them (not a hardcoded name tuple) means a renamed or added
+    # directory can never silently survive a 'clear all' (an audit
+    # defect: stale data after a recorded wipe)
+    from v2_ocr_spark.pipeline.sink import CheckpointStore
+
+    for p in (
+        sink.data_dir,
+        sink.commits_dir,
+        CheckpointStore(out_dir).dir,
+        sink.staging_root,
+    ):
         shutil.rmtree(p, ignore_errors=True)
         # recreate the empty layout: live MergeSink/CheckpointStore
         # handles keep working (reads report 'no committed partitions',
@@ -363,12 +452,21 @@ def backfill_column(
     col_name: str,
     expr: F.Column,
     num_partitions: int | None = None,
+    lease: bool = True,
+    _lease_lost=None,
 ) -> dict:
     """S11 — schema-evolution backfill (reference:
     dist/scripts/migrate-base64-to-storage.js:44-120 migrates a column
     across all rows). Adds/replaces a derived column over every
     committed partition via the same copy-on-write rewrite; on Iceberg
-    this is ``ALTER TABLE ADD COLUMN`` + ``UPDATE``, metadata-cheap."""
+    this is ``ALTER TABLE ADD COLUMN`` + ``UPDATE``, metadata-cheap.
+    Runs under the sink ownership lease by default (see merge_upsert)."""
+    if lease:
+        with held_lease(out_dir) as (_l, lost):
+            return backfill_column(
+                spark, out_dir, col_name, expr, num_partitions,
+                lease=False, _lease_lost=lost,
+            )
     sink = MergeSink(out_dir)
     sink.ensure_num_partitions(num_partitions)  # validate only
     pids = sorted(sink.committed())
@@ -377,7 +475,8 @@ def backfill_column(
     # this module guards against)
     rewritten = sink.read(spark).withColumn(col_name, expr)
     return _rewrite_partitions(
-        spark, sink, rewritten, pids, 0, "backfill", recompute_pid=False
+        spark, sink, rewritten, pids, 0, "backfill", recompute_pid=False,
+        lease_lost=_lease_lost,
     )
 
 
@@ -385,6 +484,8 @@ def compact_partitions(
     spark: SparkSession,
     out_dir: str,
     pids: list[int] | None = None,
+    lease: bool = True,
+    _lease_lost=None,
 ) -> dict:
     """Small-files maintenance — the MergeSink analog of Iceberg's
     ``rewrite_data_files``. Long append workloads (and any write under
@@ -401,7 +502,13 @@ def compact_partitions(
     being promoted, i.e. silent data loss).
 
     At 100 TB: run per-partition on a schedule (the pids argument
-    bounds each run), exactly like Iceberg compaction jobs."""
+    bounds each run), exactly like Iceberg compaction jobs. Runs under
+    the sink ownership lease by default (see merge_upsert)."""
+    if lease:
+        with held_lease(out_dir) as (_l, lost):
+            return compact_partitions(
+                spark, out_dir, pids, lease=False, _lease_lost=lost,
+            )
     sink = MergeSink(out_dir)
     committed_pids = set(sink.committed())
     # only COMMITTED partitions can be compacted: promoting an
@@ -419,6 +526,7 @@ def compact_partitions(
         spark, sink,
         current.where(F.col("pid").isin(targets)),
         targets, 0, "compact", recompute_pid=False,
+        lease_lost=_lease_lost,
     )
     res["skipped"] = skipped
     return res

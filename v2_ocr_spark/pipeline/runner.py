@@ -40,6 +40,7 @@ from v2_ocr_spark.pipeline.sink import (
     CheckpointStore,
     MergeSink,
     SinkLease,
+    held_lease,
 )
 
 
@@ -134,6 +135,9 @@ class ExtractionJob:
         ).withColumn("pid", partition_id("conv_id", self.num_partitions))
         if fault is not None:
             extracted = fault(extracted)
+        # schema sidecar BEFORE staging: keeps the table readable even
+        # if every partition later empties (see MergeSink.record_schema)
+        self.sink.record_schema(extracted.schema)
         (
             extracted
             .repartition("pid")
@@ -150,9 +154,15 @@ class ExtractionJob:
         empty = {"turns_seen": 0, "nodes_seen": 0, "blocks_kept": 0,
                  "blocks_dropped": 0, "turns_errored": 0,
                  "chars_in": 0, "chars_out": 0, "proc_ms": 0}
+        from pyspark.errors import AnalysisException
+
         try:
             staged = self.spark.read.parquet(self.sink.staging_dir(run_id))
-        except Exception:  # noqa: BLE001 — nothing staged at all
+        except AnalysisException:  # nothing staged at all (no footer)
+            # ONLY the missing/empty-staging case falls back to zeroed
+            # metrics — a blanket except here would swallow a transient
+            # read failure and promote real data with turns_seen=0,
+            # permanently corrupting the commit lineage
             return {pid: dict(empty) for pid in pids}
         rows = (
             staged.groupBy("pid")
@@ -197,41 +207,20 @@ class ExtractionJob:
         (new data arriving in an append-only store) — the Iceberg
         incremental-scan analog: only 1/P of the table recomputes per
         appended conversation, not the whole job."""
-        import threading
-
         run_id = uuid.uuid4().hex[:12]
         # ONE driver owns a sink at a time: the claim loop's
         # checkpoint get+set is not cross-process atomic, so ownership
         # is enforced up front — a second concurrent driver fails its
-        # claim cleanly with LeaseHeld instead of double-promoting
-        lease = SinkLease(self.out_dir, ttl_seconds=self.lease_ttl).acquire()
-        # the staging Spark job can outlast the lease ttl — a daemon
-        # heartbeater keeps the lease fresh for the whole run so a
-        # long stage is never mistaken for a dead owner and taken
-        # over mid-write; if the lease is somehow lost anyway, the
-        # flag stops promotion before any partition publishes
-        stop_beat = threading.Event()
-        lease_lost = threading.Event()
-
-        def _beat() -> None:
-            while not stop_beat.wait(max(self.lease_ttl / 3.0, 1.0)):
-                try:
-                    lease.heartbeat()
-                except Exception:  # noqa: BLE001 — lost to a takeover
-                    lease_lost.set()
-                    return
-
-        beater = threading.Thread(target=_beat, daemon=True)
-        beater.start()
-        try:
+        # claim cleanly with LeaseHeld instead of double-promoting.
+        # held_lease keeps a heartbeat fresh for the whole run (a long
+        # stage must never look like a dead owner); if the lease is
+        # somehow lost anyway, the event stops promotion before any
+        # partition publishes.
+        with held_lease(self.out_dir, self.lease_ttl) as (lease, lease_lost):
             return self._run_owned(
                 run_id, lease, lease_lost, fault, fail_before_promote,
                 incremental,
             )
-        finally:
-            stop_beat.set()
-            beater.join(timeout=5)
-            lease.release()
 
     def _run_owned(
         self,
@@ -247,13 +236,37 @@ class ExtractionJob:
         # must fail loudly, not scatter rows
         self.sink.ensure_num_partitions(self.num_partitions)
         # the job owns the sink exclusively: heal any interrupted
-        # promote immediately (no grace needed)
+        # promote immediately (no grace needed), and sweep stale
+        # staging run dirs — a crash between _stage and the promote
+        # loop strands a complete staged table copy per attempt, and
+        # nothing else ever cleans _staging (repeated crashes would
+        # multiply whole-table copies on disk forever)
+        import shutil
+
         self.sink.recover_partials(grace_seconds=0)
+        for stale in os.listdir(self.sink.staging_root):
+            if stale != run_id:
+                shutil.rmtree(
+                    os.path.join(self.sink.staging_root, stale),
+                    ignore_errors=True,
+                )
         self.checkpoints.recover()  # Q2
         pids = self.pending_partitions()
         if incremental:
             fps = self.input_fingerprints()
-            pids = sorted(set(pids) | set(self.changed_partitions(fps)))
+            # changed COMMITTED partitions respect the same Q4 retry
+            # cap as uncommitted ones — without this, a committed
+            # partition whose appended input keeps failing _stage is
+            # re-selected on every incremental run forever instead of
+            # parking at max_attempts (it stays visible in checkpoints)
+            changed = [
+                p for p in self.changed_partitions(fps)
+                if not (
+                    (st := self.checkpoints.get(p))["status"] == ERROR
+                    and st["attempt"] >= self.max_attempts
+                )
+            ]
+            pids = sorted(set(pids) | set(changed))
         if not pids:
             return {"run_id": run_id, "committed": [], "status": "up-to-date"}
         if not incremental:
@@ -295,11 +308,19 @@ class ExtractionJob:
                 fps.get(pid, {"input_rows": 0, "input_sig": 0})
             )
             commit = self.sink.promote(run_id, pid, all_metrics[pid])
+            # attempt resets on success: the cap bounds a FAILURE
+            # STREAK, not lifetime failures — a partition that failed
+            # twice years ago then succeeded gets a full retry budget
+            # when its input next changes
             self.checkpoints.set(
                 pid, status=COMPLETED, completed_at=time.time(),
-                snapshot_id=commit["snapshot_id"],
+                snapshot_id=commit["snapshot_id"], attempt=0,
             )
             committed.append(pid)
+        # every pid dir was renamed out by promote; remove the leftover
+        # run dir (_SUCCESS marker) so successful runs don't accumulate
+        # one stale staging entry each
+        shutil.rmtree(self.sink.staging_dir(run_id), ignore_errors=True)
         return {"run_id": run_id, "committed": committed, "status": "ok"}
 
     def read_output(self) -> DataFrame:

@@ -292,6 +292,47 @@ class SinkLease:
         self.release()
 
 
+def held_lease(out_dir: str, ttl_seconds: float = 600.0):
+    """Acquire the sink lease AND keep it heartbeat-fresh for the whole
+    block — the ownership wrapper every sink MUTATOR runs under (the
+    extraction job, all maintenance rewrites, the streaming landing
+    loop). A long Spark stage must never look like a dead owner and
+    get taken over mid-write; conversely, if the lease IS lost to a
+    takeover anyway, the yielded Event is set so the caller can refuse
+    to promote. Yields (lease, lost_event). The beat interval is capped
+    at ttl/2 — the old max(ttl/3, 1.0) floor let a sub-1.5s ttl sleep
+    PAST its own ttl, so a rival could take over a live owner between
+    beats."""
+    import contextlib
+    import threading
+
+    @contextlib.contextmanager
+    def cm():
+        lease = SinkLease(out_dir, ttl_seconds=ttl_seconds).acquire()
+        stop = threading.Event()
+        lost = threading.Event()
+        interval = min(max(ttl_seconds / 3.0, 1.0), ttl_seconds / 2.0)
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    lease.heartbeat()
+                except Exception:  # noqa: BLE001 — lost to a takeover
+                    lost.set()
+                    return
+
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
+        try:
+            yield lease, lost
+        finally:
+            stop.set()
+            beater.join(timeout=5)
+            lease.release()
+
+    return cm()
+
+
 class MergeSink:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -394,11 +435,43 @@ class MergeSink:
             paths.append(p)
         return paths
 
+    def record_schema(self, schema) -> None:
+        """Persist the table schema (incl. the pid partition column)
+        next to the table metadata. Writers call this before staging;
+        read() then works even when EVERY committed partition is empty
+        (a retention pass that matches everything leaves only empty
+        pid dirs — parquet inference has no footer to read and would
+        raise, making a legitimately emptied table unreadable and
+        un-repopulatable since merge_upsert reads before it writes)."""
+        path = os.path.join(self.out_dir, "_schema.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(schema.json())
+        os.replace(tmp, path)
+
+    def stored_schema(self):
+        try:
+            with open(
+                os.path.join(self.out_dir, "_schema.json"), encoding="utf-8"
+            ) as f:
+                from pyspark.sql.types import StructType
+
+                return StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None
+
     def read(self, spark):
         paths = self.committed_paths()
         if not paths:
             raise FileNotFoundError(f"no committed partitions under {self.out_dir}")
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        reader = spark.read.option("basePath", self.data_dir)
+        schema = self.stored_schema()
+        if schema is not None:
+            # explicit schema: no footer inference (cheaper listing at
+            # many-partition scale, and the only way an all-empty table
+            # stays readable); pid is parsed from the dir names
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     # -- write side ----------------------------------------------------------
 

@@ -313,7 +313,7 @@ def stream_extract_upsert(
             _affected_pids,
             _rewrite_partitions,
         )
-        from v2_ocr_spark.pipeline.sink import MergeSink
+        from v2_ocr_spark.pipeline.sink import MergeSink, held_lease
         from v2_ocr_spark.pipeline.runner import partition_id
 
         sink = MergeSink(out_dir)
@@ -323,25 +323,34 @@ def stream_extract_upsert(
         # parquet footer and silently drop metrics columns on read
         extracted = extract_turns(batch_df, with_metrics=True).persist()
         pids = _affected_pids(extracted.select("conv_id").distinct(), np)
-        done = set(sink.committed())
-        fresh = sorted(set(pids) - done)
-        if fresh:
-            # the stream IS the extraction for partitions it reaches
-            # first: bootstrap them through the copy-on-write commit
-            # path (merge_upsert's extraction-first policy is for BATCH
-            # maintenance callers, not this source)
-            _rewrite_partitions(
-                spark, sink,
-                extracted.where(partition_id("conv_id", np).isin(fresh)),
-                fresh, np, "bootstrap",
-            )
-        touched = sorted(set(pids) & done)
-        if touched:
-            merge_upsert(
-                spark, out_dir,
-                extracted.where(partition_id("conv_id", np).isin(touched)),
-                num_partitions=np,
-            )
+        # ONE lease spans the whole micro-batch (bootstrap + merge):
+        # an unleased landing racing a batch maintenance rewrite on the
+        # same pid would interleave as lost updates
+        with held_lease(out_dir) as (_l, lost):
+            done = set(sink.committed())
+            fresh = sorted(set(pids) - done)
+            if fresh:
+                # the stream IS the extraction for partitions it
+                # reaches first: bootstrap them through the
+                # copy-on-write commit path (merge_upsert's
+                # extraction-first policy is for BATCH maintenance
+                # callers, not this source)
+                _rewrite_partitions(
+                    spark, sink,
+                    extracted.where(
+                        partition_id("conv_id", np).isin(fresh)
+                    ),
+                    fresh, np, "bootstrap", lease_lost=lost,
+                )
+            touched = sorted(set(pids) & done)
+            if touched:
+                merge_upsert(
+                    spark, out_dir,
+                    extracted.where(
+                        partition_id("conv_id", np).isin(touched)
+                    ),
+                    num_partitions=np, lease=False, _lease_lost=lost,
+                )
         extracted.unpersist()
 
     writer = stream.writeStream.foreachBatch(land).option(
