@@ -468,8 +468,11 @@ _SPAN_STR = (
 )
 
 _EXPORT_BLOCK = (
+    # coalesce mirrors the Spark side: a NULL page renders an empty
+    # body line instead of nulling the whole block out of string_agg
     f"'{SEP80}' || e'\\n' || 'Page ' || turn_idx || ' of ' || cnt || "
-    f"e'\\n' || '{SEP80}' || e'\\n\\n' || expected_text || e'\\n\\n'"
+    f"e'\\n' || '{SEP80}' || e'\\n\\n' || coalesce(expected_text, '') "
+    "|| e'\\n\\n'"
 )
 
 
@@ -716,12 +719,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE substr(sn, 1, 251) END AS safe_name FROM p"
         ),
         "human_sizes": (
+            # least(..., 4) clamps to 'TB' exactly like the Spark side
+            # (>= 1 PiB would index past the unit array)
             "SELECT conv_id, size_bytes, CASE WHEN size_bytes = 0 THEN '0 B' "
             "ELSE regexp_replace(CAST(round(size_bytes / "
-            "power(1024, floor(ln(size_bytes) / ln(1024))), 2) AS VARCHAR), "
+            "power(1024, least(floor(ln(size_bytes) / ln(1024)), 4)), 2) "
+            "AS VARCHAR), "
             r"'\.?0+$', '') || ' ' || "
             "(['B','KB','MB','GB','TB'])"
-            "[CAST(floor(ln(size_bytes) / ln(1024)) AS INT) + 1] "
+            "[least(CAST(floor(ln(size_bytes) / ln(1024)) AS INT), 4) + 1] "
             f"END AS human_size FROM {_C}"
         ),
         "durations": (
@@ -798,12 +804,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_histogram": (
             # hi = lo guard mirrors value_histogram_for: an all-equal
-            # value column must bin to 0, not divide by zero
-            "WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) "
+            # value column must bin to 0, not divide by zero; NaN rows
+            # are dropped up front exactly like the Spark side
+            "WITH e AS (SELECT event_type, value FROM events "
+            "WHERE NOT isnan(value) OR value IS NULL), "
+            "b AS (SELECT min(value) AS lo, max(value) AS hi FROM e) "
             "SELECT event_type, CAST(CASE WHEN hi = lo THEN 0 ELSE "
             "least(19, floor((value - lo) / ((hi - lo) / 20))) END AS INT) "
             "AS bin, count(*) AS n "
-            "FROM events, b GROUP BY 1, 2"
+            "FROM e, b GROUP BY 1, 2"
         ),
         "top_events_per_user": (
             "WITH r AS (SELECT user_id, event_id, event_type, "
@@ -952,15 +961,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "redact_pii": (
+            # n_phones counts on the EMAIL-redacted text (what phone
+            # redaction actually runs on) — mirrors the Spark side
+            "WITH m AS (SELECT conv_id, turn_idx, text, "
+            "regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            f"'<EMAIL>', 'g') AS em FROM {_T}) "
             "SELECT conv_id, turn_idx, "
-            "regexp_replace(regexp_replace(text, "
-            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-            r"'\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted_text, "
+            r"regexp_replace(em, '\+?[0-9][0-9 ()-]{7,}[0-9]', "
+            "'<PHONE>', 'g') AS redacted_text, "
             "CAST(len(regexp_extract_all(text, "
             r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails, "
-            "CAST(len(regexp_extract_all(text, "
+            "CAST(len(regexp_extract_all(em, "
             r"'\+?[0-9][0-9 ()-]{7,}[0-9]')) AS INT) AS n_phones "
-            f"FROM {_T}"
+            "FROM m"
         ),
         "token_counts": (
             "SELECT doc_id, "
@@ -1318,7 +1332,7 @@ def _hash_sample_sql(rate: float = 0.1) -> str:
 
 def _lang_id_sql(table: str = "documents", keys: str = "doc_id") -> str:
     return (
-        f"WITH m AS (SELECT {keys}, "
+        f"WITH m AS (SELECT {keys}, text IS NULL AS tn, "
         "len(regexp_extract_all(lower(text), '[\u0600-\u06ff]')) / "
         "CAST(greatest(length(lower(text)), 1) AS DOUBLE) AS ar, "
         "len(regexp_extract_all(lower(text), '[\u0400-\u04ff]')) / "
@@ -1328,7 +1342,10 @@ def _lang_id_sql(table: str = "documents", keys: str = "doc_id") -> str:
         f"{_STOP_SQL['en']} AS en, {_STOP_SQL['de']} AS de, "
         f"{_STOP_SQL['fr']} AS fr, {_STOP_SQL['es']} AS es "
         f"FROM {table}) "
-        f"SELECT {keys}, CASE WHEN ar > 0.3 THEN 'ar' WHEN cy > 0.3 THEN 'ru' "
+        # NULL text -> NULL pred_lang (mirrors lang_id_for; the ELSE
+        # 'es' would otherwise claim every NULL doc as Spanish)
+        f"SELECT {keys}, CASE WHEN tn THEN NULL "
+        "WHEN ar > 0.3 THEN 'ar' WHEN cy > 0.3 THEN 'ru' "
         "WHEN cjk > 0.3 THEN 'zh' "
         "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
         "WHEN de >= fr AND de >= es THEN 'de' "

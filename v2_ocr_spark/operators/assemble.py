@@ -32,9 +32,9 @@ Scale design — the skew problem:
   conversation spreads across tasks, and phase 2 merges the partials.
   Deriving the salt from turn_idx instead of a random/hashed value is
   what lets the merge stay order-exact (random salts would need a
-  re-sort per group). Verified by
-  tests/test_extract_pipeline.py chunked-vs-unchunked equality and the
-  skew fixture ``convskew00`` (10k turns).
+  re-sort per group). Verified by the chunked-vs-unchunked equality
+  test in tests/test_assemble.py (several chunk sizes, NULL-text
+  chunks included) and the skew fixture ``convskew00`` (10k turns).
 """
 
 from __future__ import annotations
@@ -68,8 +68,17 @@ def assemble(
     chunked = extracted.withColumn(
         "chunk", ((F.col("turn_idx") - 1) / chunk_size).cast("int")
     )
+    # a chunk whose texts are ALL NULL must contribute NO partial:
+    # concat_ws over an all-NULL array returns '' (never NULL), and
+    # phase 2 would join that '' — diverging from the unchunked path,
+    # where concat_ws simply skips the NULLs. count(text_col) counts
+    # non-NULL texts, so a chunk holding a genuine '' keeps its ''
+    # partial (concat_ws DOES join empty strings, both paths alike).
     partials = chunked.groupBy("conv_id", "chunk").agg(
-        F.concat_ws("\n\n", _sorted_texts(text_col)).alias("part"),
+        F.when(
+            F.count(text_col) > 0,
+            F.concat_ws("\n\n", _sorted_texts(text_col)),
+        ).alias("part"),
         F.count("*").alias("n"),
     )
     return partials.groupBy("conv_id").agg(
@@ -135,7 +144,10 @@ def export_documents(
                 ),
                 F.lit(SEPARATOR),
                 F.lit(""),
-                t,
+                # a NULL page still renders its (empty) body line —
+                # concat_ws would otherwise SKIP the element and make
+                # the block one line shorter than the E14 layout
+                F.coalesce(t, F.lit("")),
                 F.lit("\n"),
             ),
         ),

@@ -371,15 +371,36 @@ def safe_names(spark, d):
 
     fallback = F.lit("Export_16-08-2026")
     raw = F.col("source_name")
-    s = F.regexp_replace(raw, '[<>:"/\\\\|?*]', "")
-    s = F.regexp_replace(s, r"^\.+", "")
-    s = F.regexp_replace(s, _js_ws_class() + "+", " ")
-    s = F.btrim(s, F.lit(JS_WS))
+    sanitized = F.btrim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, '[<>:"/\\\\|?*]', ""), r"^\.+", ""
+            ),
+            _js_ws_class() + "+",
+            " ",
+        ),
+        F.lit(JS_WS),
+    )
+    # materialize the 3-regexp sanitize chain and the reverse+locate
+    # ONCE before the CASE — Catalyst does no common-subexpression
+    # elimination ACROSS conditional branches, so inlining `s` into
+    # every branch re-runs the regexp chain per branch (the CLAUDE.md
+    # CASE trap; same fix as lang_id_for's counts projection)
+    pre = _c(spark, d).select(
+        "conv_id",
+        "source_name",
+        sanitized.alias("_s"),
+    )
+    s = F.col("_s")
     # last '.' position (1-based; 0 = none)
-    last_dot = F.when(
-        F.locate(".", F.reverse(s)) > 0,
-        F.length(s) - F.locate(".", F.reverse(s)) + 1,
-    ).otherwise(F.lit(0))
+    pre = pre.withColumn(
+        "_last_dot",
+        F.when(
+            F.locate(".", F.reverse(s)) > 0,
+            F.length(s) - F.locate(".", F.reverse(s)) + 1,
+        ).otherwise(F.lit(0)),
+    )
+    last_dot = F.col("_last_dot")
     stem = F.translate(F.substring(s, 1, last_dot - 1), ".", "_")
     named = (
         F.when(last_dot == 1, s)
@@ -390,7 +411,7 @@ def safe_names(spark, d):
         raw.isNull() | (F.btrim(raw, F.lit(JS_WS)) == "") | (s == ""),
         fallback,
     ).otherwise(named)
-    return _c(spark, d).select("conv_id", "source_name", out.alias("safe_name"))
+    return pre.select("conv_id", "source_name", out.alias("safe_name"))
 
 
 def _strip_zeros(col: F.Column) -> F.Column:
@@ -401,7 +422,12 @@ def human_sizes(spark, d):
     """E10: bytes -> '1.5 KB' style, exact reference semantics
     (lib/file-utils.ts:94-100: floor(log1024), toFixed(2), parseFloat)."""
     b = F.col("size_bytes").cast("double")
-    i = F.floor(F.log(b) / F.log(F.lit(1024.0))).cast("int")
+    # clamp to the last unit: >= 1 PiB would index past the 5-element
+    # array — an ANSI ArrayIndexOutOfBounds killing the whole query for
+    # one huge row; clamped, it formats as '1024 TB' (oracle matches)
+    i = F.least(
+        F.lit(4), F.floor(F.log(b) / F.log(F.lit(1024.0))).cast("int")
+    )
     unit = F.element_at(
         F.array(F.lit("B"), F.lit("KB"), F.lit("MB"), F.lit("GB"), F.lit("TB")),
         i + 1,
@@ -704,7 +730,15 @@ def value_histogram_for(e, n_bins: int = 20):
     """Histogram over any (event_type, value) table. When every value
     is identical the bin width is 0 and the division would produce
     NaN (and the oracle's CAST(NaN AS INT) errors) — that degenerate
-    input collapses to bin 0, guarded identically in the oracle SQL."""
+    input collapses to bin 0, guarded identically in the oracle SQL.
+
+    NaN values are DROPPED up front (repo NaN policy: make it
+    impossible, never 'let the guard handle it') — one NaN makes
+    hi=NaN (NaN is max in Spark), the hi==lo guard misses it, the bin
+    width goes NaN and EVERY row silently lands in bin 0 while the
+    DuckDB twin errors on CAST(NaN AS INT). isnan(NULL) is false, so
+    NULL values keep their current NULL-bin behavior."""
+    e = e.where(~F.isnan(F.col("value").cast("double")))
     bounds = e.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )

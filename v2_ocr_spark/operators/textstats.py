@@ -69,6 +69,7 @@ def lang_id_for(d: DataFrame, keys: list[str]) -> DataFrame:
     # across conditional branches; measured ~20x slower inlined)
     counts = d.select(
         *keys,
+        F.col("text").isNull().alias("_tn"),
         (F.regexp_count(text, F.lit(ARABIC_CLASS)) / n).alias("ar"),
         (F.regexp_count(text, F.lit(CYRILLIC_CLASS)) / n).alias("cy"),
         (F.regexp_count(text, F.lit(CJK_CLASS)) / n).alias("cjk"),
@@ -85,7 +86,12 @@ def lang_id_for(d: DataFrame, keys: list[str]) -> DataFrame:
         .otherwise("es")
     )
     pred = (
-        F.when(F.col("ar") > 0.3, "ar")
+        # NULL text has no language: every count is NULL, so all the
+        # branches below fall through and the otherwise() would label
+        # it 'es' (while '' deterministically labels 'en') — an
+        # arbitrary, keep-list-colliding fallback. NULL in, NULL out.
+        F.when(F.col("_tn"), F.lit(None).cast("string"))
+        .when(F.col("ar") > 0.3, "ar")
         .when(F.col("cy") > 0.3, "ru")
         .when(F.col("cjk") > 0.3, "zh")
         .otherwise(best_latin)
@@ -262,15 +268,26 @@ def redact_pii(df: DataFrame, keys: list[str]) -> DataFrame:
     tokenization. Pure codegen (two regexp_replace), plus per-row hit
     counts for audit metrics."""
     text = F.col("text")
-    return df.select(
+    # n_phones counts matches in the EMAIL-REDACTED text, exactly what
+    # phone redaction runs on — counting the raw text would report a
+    # phone 'redaction' for a digit run the email pass already consumed
+    # ('1234567890@example.com' -> redacted_text has no <PHONE>), so
+    # audits reconciling n_phones against <PHONE> occurrences would
+    # over-report. Two-step select so the email pass is evaluated once.
+    masked = df.select(
+        *keys,
+        text.alias("text"),
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>").alias("_email_masked"),
+    )
+    return masked.select(
         *keys,
         F.regexp_replace(
-            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
-            PHONE_RE,
-            "<PHONE>",
+            F.col("_email_masked"), PHONE_RE, "<PHONE>"
         ).alias("redacted_text"),
-        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(
+            F.col("_email_masked"), F.lit(PHONE_RE)
+        ).alias("n_phones"),
     )
 
 
