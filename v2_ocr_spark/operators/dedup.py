@@ -68,13 +68,17 @@ def input_signature(path: str) -> tuple:
     return (n, total, newest)
 
 
-def word_shingles(text_col, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles, JVM-side."""
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+def _shingle_set(text: str, n: int) -> set[str]:
+    """Distinct word n-gram shingles of ONE document — the single
+    oracle-pinned shingle definition, shared by the minhash signature
+    pass, the exact-verify kernel and the inverted-index explode (it
+    used to live as three inline copies plus an unused JVM variant —
+    four places any semantics tweak had to hit). '' yields {''}
+    (DuckDB string_split('') is ['']); callers own the None policy
+    (verify maps None -> empty set; the pair producers drop None)."""
+    toks = text.split(" ")
+    m = max(len(toks) - (n - 1), 1)
+    return {" ".join(toks[i : i + n]) for i in range(m)}
 
 
 def exact_duplicates(spark, sf_dir):
@@ -130,11 +134,14 @@ def minhash_signatures(
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = (text or "").split(" ")
-                m = max(len(toks) - (shingle_n - 1), 1)
-                shingles = {
-                    " ".join(toks[i : i + shingle_n]) for i in range(m)
-                }
+                if text is None:
+                    # NULL-text docs are DROPPED (the module NULL
+                    # policy, same as shingle_explode/simhash):
+                    # coalescing to '' gave every NULL doc the
+                    # identical {''} signature, colliding them all
+                    # into every LSH band — O(k^2) wasted verify work
+                    continue
+                shingles = _shingle_set(text, shingle_n)
                 x = np.fromiter(
                     (
                         zlib.crc32(s.encode("utf-8")) % MERSENNE_P
@@ -184,24 +191,29 @@ def lsh_candidate_pairs(
 
     # Degenerate-bucket guardrail FIRST (boilerplate clusters; exact
     # dedup handles them upstream): bucket sizes are a cheap count
-    # aggregate (map-side partial, constant buffer), and the oversized
-    # set broadcasts into an anti-join. Only THEN are surviving buckets'
-    # member lists collected — so collect_list's aggregation buffer is
-    # genuinely bounded by max_bucket even on a 10^12-row input.
-    # (Filtering on size AFTER a bare collect_list would build the
-    # multi-million-member array before discarding it.)
+    # aggregate (map-side partial, constant buffer), and the OVERSIZED
+    # set — tiny by construction, it takes > max_bucket colliding docs
+    # to make one entry — broadcasts into an anti-join. Only THEN are
+    # the surviving buckets' member lists collected, so collect_list's
+    # aggregation buffer is genuinely bounded by max_bucket even on a
+    # 10^12-row input; singleton buckets cost one 1-element array and
+    # are dropped by the post-agg size filter. (Broadcasting the KEEP
+    # set instead — as an earlier version did — inverts the cardinality:
+    # on a heavily duplicated corpus keep ~ bands x n_buckets, a
+    # corpus-scale table that would blow the broadcast limit exactly
+    # when dedup matters; ngram_jaccard_pairs_for pins the same
+    # broadcast-the-small-side rule for its max_df cap.)
     import pandas as pd
 
     sizes = band_entries.groupBy("band", "bucket").agg(
         F.count("*").alias("n")
     )
-    keep = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
-        "band", "bucket"
-    )
+    over = sizes.where(F.col("n") > max_bucket).select("band", "bucket")
     buckets = (
-        band_entries.join(F.broadcast(keep), ["band", "bucket"])
+        band_entries.join(F.broadcast(over), ["band", "bucket"], "left_anti")
         .groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
         .select("ids")
     )
 
@@ -258,9 +270,7 @@ def verify_jaccard(
         # 1.0 on BOTH sides (None and '' are different contracts here).
         if text is None:
             return set()
-        toks = text.split(" ")
-        m = max(len(toks) - (shingle_n - 1), 1)
-        return {" ".join(toks[i : i + shingle_n]) for i in range(m)}
+        return _shingle_set(text, shingle_n)
 
     def run(batches):
         for pdf in batches:
@@ -363,6 +373,15 @@ def minhash_lsh_pairs_for(
     baked-in orderBy would range-exchange the whole pair table — at
     100 TB that table can be billions of rows — for an ordering only
     the gate oracle needs; the gate adds it at registration."""
+    if threshold <= 0:
+        # same contract guard as ngram_jaccard_pairs_for: only pairs
+        # sharing an LSH bucket can ever surface, so threshold=0 (ALL
+        # pairs, including fully disjoint ones) is unsatisfiable here
+        raise ValueError(
+            "minhash_lsh_pairs requires threshold > 0: only pairs "
+            "sharing a signature bucket are candidates, so the "
+            "ALL-pairs contract at threshold <= 0 cannot be met"
+        )
     # docs feed both the signature pass and the verify join-back;
     # respect a caller's existing persist (compose persists the
     # assembled conversations for the whole cleaning tail — yanking
@@ -409,11 +428,7 @@ def shingle_explode(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                toks = text.split(" ")
-                m = max(len(toks) - (shingle_n - 1), 1)
-                distinct = {
-                    " ".join(toks[i : i + shingle_n]) for i in range(m)
-                }
+                distinct = _shingle_set(text, shingle_n)
                 ids.extend([doc_id] * len(distinct))
                 sh.extend(distinct)
             yield pd.DataFrame({"doc_id": ids, "shingle": sh})

@@ -53,8 +53,14 @@ def with_fake_image(docs: DataFrame) -> DataFrame:
         F.to_binary(F.lpad(F.hex(w), 8, "0"), F.lit("hex")),
         F.to_binary(F.lpad(F.hex(h), 8, "0"), F.lit("hex")),
     )
+    # coalesce: a NULL-text doc yields an EMPTY payload, not a NULL
+    # image — bytes(None) would TypeError inside every Arrow decoder
+    # (decode/resize/dhash) before their magic/length guards run; the
+    # video/audio fakes guard the same way
     return docs.withColumn(
-        "image", F.concat(header, F.encode(F.col("text"), "utf-8"))
+        "image",
+        F.concat(header, F.encode(F.coalesce(F.col("text"), F.lit("")),
+                                  "utf-8")),
     )
 
 
@@ -416,7 +422,14 @@ def resample_audio(audio: DataFrame, target_rate: int = 16000) -> DataFrame:
                 if not n:
                     rows.append((doc_id, b, 0, 0))
                     continue
-                if rate > 0 and rate != target_rate:
+                if rate <= 0:
+                    # corrupt header rate: pass through UNCHANGED like
+                    # the other undecodable paths — rebuilding with a
+                    # target_rate header would relabel never-resampled
+                    # samples as validly resampled
+                    rows.append((doc_id, b, 0, 0))
+                    continue
+                if rate != target_rate:
                     m = max(1, (n * target_rate) // rate)
                     idx = [(i * rate) // target_rate for i in range(m)]
                     pcm = bytes(pcm[min(i, n - 1)] for i in idx)
