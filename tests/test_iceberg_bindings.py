@@ -62,3 +62,14 @@ def test_repair_and_clear_all_sql():
     assert clear_all_sql("cat.db.extracted") == (
         "DELETE FROM cat.db.extracted WHERE true"
     )
+
+
+def test_merge_upsert_sql_key_only_source_omits_update_clause():
+    """Review regression (r4): a source with ONLY the key columns used
+    to emit 'UPDATE SET ' with nothing after it — a parse error; the
+    MERGE degrades to insert-if-absent."""
+    sql = ice.merge_upsert_sql(
+        "t", "v", ["conv_id", "turn_idx"], ["conv_id", "turn_idx"]
+    )
+    assert "WHEN MATCHED" not in sql
+    assert "WHEN NOT MATCHED THEN INSERT (conv_id, turn_idx)" in sql

@@ -253,3 +253,39 @@ def test_stream_sessionize_tws_matches_legacy_api(spark, tmp_path):
     events = spark.read.parquet(f"{src}/events.parquet").toPandas()
     assert got == _expected_sessions_pandas(events)
     assert len(got) > 0
+
+
+def test_advance_session_never_moves_high_water_mark_backward():
+    """Review regression (r4): a late event from an open session
+    arriving in a later micro-batch must not drag `last` backward —
+    the next on-time event would measure its gap from the late
+    timestamp and falsely split the session (the batch global-sort
+    keeps it whole)."""
+    from v2_ocr_spark.streaming.stateful import _advance_session
+
+    gap = 30 * 60.0
+    # batch 1: two on-time events 10 min apart, session open, last=4200
+    start, last, n, closed = _advance_session(
+        1, None, None, 0, [3600.0, 4200.0], gap
+    )
+    assert (start, last, n, closed) == (3600.0, 4200.0, 2, [])
+    # batch 2: a LATE in-gap event (3900 < last), then an on-time one
+    # 21 min after the TRUE high-water mark — same session throughout
+    # (with the old unconditional last=t, the gap from 3900 to 5460 is
+    # 26 min — still fine — but from 3900 a 21-min-later event at 5460
+    # measured against a dragged-back last would split once the drag
+    # exceeds gap; assert the mark never moves back at all)
+    start, last, n, closed = _advance_session(
+        1, start, last, n, [3900.0, 5460.0], gap
+    )
+    assert closed == []          # no false split
+    assert last == 5460.0
+    assert n == 4
+    # an ANCIENT straggler (more than gap before the session start)
+    # can never join the open session: it emits as its own closed
+    # 1-event session and the open session stays untouched
+    start, last, n, closed = _advance_session(
+        1, start, last, n, [100.0], gap
+    )
+    assert closed == [(1, 100.0, 100.0, 1)]
+    assert (start, last, n) == (3600.0, 5460.0, 4)

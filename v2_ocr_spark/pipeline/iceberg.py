@@ -67,9 +67,13 @@ def merge_upsert_sql(
     sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
     cols = ", ".join(columns)
     vals = ", ".join(f"s.{c}" for c in columns)
+    # key-only source (presence merge): an empty 'UPDATE SET ' clause
+    # is a parse error — matched rows already equal their update, so
+    # the MERGE degrades to insert-if-absent
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
         f"MERGE INTO {table} t USING {source_view} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
 
@@ -136,7 +140,15 @@ def merge_upsert(
     spark: SparkSession, table: str, updates: DataFrame, keys: list[str]
 ) -> None:
     """MERGE the updates DataFrame into an Iceberg table on `keys`."""
+    import uuid as _uuid
+
     _require(spark)
-    view = "v2ocr_merge_updates"
+    # unique view per call: a FIXED name lets two concurrent merges in
+    # one session clobber each other's source view between create and
+    # MERGE — the loser silently upserts the other merge's rows
+    view = f"v2ocr_merge_updates_{_uuid.uuid4().hex[:12]}"
     updates.createOrReplaceTempView(view)
-    spark.sql(merge_upsert_sql(table, view, updates.columns, keys))
+    try:
+        spark.sql(merge_upsert_sql(table, view, updates.columns, keys))
+    finally:
+        spark.catalog.dropTempView(view)

@@ -112,10 +112,22 @@ class ExtractionJob:
     def changed_partitions(self, fps: dict[int, dict]) -> list[int]:
         """Committed partitions whose CURRENT input fingerprint differs
         from the one recorded at commit time (missing baseline counts
-        as changed — correctness over skipping)."""
+        as changed — correctness over skipping — EXCEPT for partitions
+        born outside batch extraction, see below)."""
         changed = []
         for pid, commit in self.sink.committed().items():
             m = commit.get("metrics", {})
+            if "input_rows" not in m and m.get("op"):
+                # a maintenance/stream-landed commit ('op' set) with NO
+                # batch baseline: this partition's content never came
+                # from input_path (e.g. stream_extract_upsert bootstrap
+                # — the STREAM was its extraction), so there is nothing
+                # to compare the batch fingerprint against, and
+                # re-extracting it from input_path would silently WIPE
+                # every streamed row. Skipped, never 'changed'.
+                # (Maintenance over batch-extracted partitions carries
+                # the baseline forward, so it never lands here.)
+                continue
             cur = fps.get(pid, {"input_rows": 0, "input_sig": 0})
             if (m.get("input_rows"), m.get("input_sig")) != (
                 cur["input_rows"], cur["input_sig"],

@@ -41,6 +41,43 @@ SESSION_OUT_DDL = (
 _SESSION_STATE_DDL = "start_ts double, last_ts double, n long"
 
 
+def _advance_session(
+    user_id, start, last, n, ts_seconds, gap_seconds: float
+):
+    """The gap-sessionization core, shared by the
+    applyInPandasWithState fn and the transformWithState processor
+    (they are pinned equal by test; one implementation means a fix can
+    never land in only one of them).
+
+    Cross-batch disorder: events are only sorted WITHIN a micro-batch
+    (no watermark on this operator), so a late event belonging to the
+    OPEN session may arrive after the state's high-water mark. It must
+    never move that mark BACKWARD — `last = t` unconditionally would
+    make the next on-time event measure its gap from the late
+    timestamp and falsely split the session (the batch global-sort
+    formulation keeps it whole). A late in-gap event folds into the
+    open session, extending its start backward if needed; an ANCIENT
+    straggler — more than gap_seconds before the open session's start
+    — can never belong to it and is emitted as its own closed
+    single-event session, leaving the open session untouched."""
+    closed: list[tuple] = []
+    for t in ts_seconds:
+        if last is None:
+            start = last = t
+            n = 1
+        elif t < start - gap_seconds:
+            closed.append((user_id, t, t, 1))
+        elif t - last > gap_seconds:
+            closed.append((user_id, start, last, n))
+            start = last = t
+            n = 1
+        else:
+            last = max(last, t)
+            start = min(start, t)
+            n += 1
+    return start, last, n, closed
+
+
 def _sessionize_fn(gap_seconds: float):
     def fn(
         key: tuple,
@@ -57,19 +94,10 @@ def _sessionize_fn(gap_seconds: float):
         # deterministic event order within the batch — same tiebreak as
         # the batch formulation (relational.sessionize)
         batch = batch.sort_values(["ts", "event_id"])
-        closed: list[tuple] = []
-        for ts in batch["ts"]:
-            t = ts.timestamp()
-            if last is None:
-                start = last = t
-                n = 1
-            elif t - last > gap_seconds:
-                closed.append((user_id, start, last, n))
-                start = last = t
-                n = 1
-            else:
-                last = t
-                n += 1
+        start, last, n, closed = _advance_session(
+            user_id, start, last, n,
+            (ts.timestamp() for ts in batch["ts"]), gap_seconds,
+        )
         state.update((start, last, n))
         if closed:
             yield pd.DataFrame(
@@ -160,8 +188,13 @@ def stream_sessionize_tws(
         )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        _prior_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:  # noqa: BLE001 — unset in this session
+        _prior_provider = None
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
@@ -183,19 +216,10 @@ def stream_sessionize_tws(
                 n = 0
             batch = pd.concat(list(rows), ignore_index=True)
             batch = batch.sort_values(["ts", "event_id"])
-            closed: list[tuple] = []
-            for ts in batch["ts"]:
-                t = ts.timestamp()
-                if last is None:
-                    start = last = t
-                    n = 1
-                elif t - last > gap_seconds:
-                    closed.append((user_id, start, last, n))
-                    start = last = t
-                    n = 1
-                else:
-                    last = t
-                    n += 1
+            start, last, n, closed = _advance_session(
+                user_id, start, last, n,
+                (ts.timestamp() for ts in batch["ts"]), gap_seconds,
+            )
             self._state.update((start, last, n))
             if closed:
                 yield pd.DataFrame(
@@ -227,7 +251,18 @@ def stream_sessionize_tws(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    try:
+        return writer.start()
+    finally:
+        # the provider is captured per-query at start — restore the
+        # session conf so LATER stateful queries in this session keep
+        # the provider they would have had (a permanent session-wide
+        # swap to RocksDB was a hidden side effect the caller of some
+        # other operator never opted into)
+        if _prior_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, _prior_provider)
 
 
 def stream_turn_metrics(
@@ -317,41 +352,62 @@ def stream_extract_upsert(
         from v2_ocr_spark.pipeline.runner import partition_id
 
         sink = MergeSink(out_dir)
-        np = sink.ensure_num_partitions(num_partitions)
         # with_metrics matches the BATCH staging schema — a narrow
         # bootstrap partition would otherwise become the table's first
-        # parquet footer and silently drop metrics columns on read
-        extracted = extract_turns(batch_df, with_metrics=True).persist()
-        pids = _affected_pids(extracted.select("conv_id").distinct(), np)
-        # ONE lease spans the whole micro-batch (bootstrap + merge):
-        # an unleased landing racing a batch maintenance rewrite on the
-        # same pid would interleave as lost updates
-        with held_lease(out_dir) as (_l, lost):
-            done = set(sink.committed())
-            fresh = sorted(set(pids) - done)
-            if fresh:
-                # the stream IS the extraction for partitions it
-                # reaches first: bootstrap them through the
-                # copy-on-write commit path (merge_upsert's
-                # extraction-first policy is for BATCH maintenance
-                # callers, not this source)
-                _rewrite_partitions(
-                    spark, sink,
-                    extracted.where(
-                        partition_id("conv_id", np).isin(fresh)
-                    ),
-                    fresh, np, "bootstrap", lease_lost=lost,
+        # parquet footer and silently drop metrics columns on read.
+        # The key dedupe handles an at-least-once upstream writing one
+        # turn into two files picked up by the same trigger: extraction
+        # is deterministic per input row, so replayed keys carry
+        # byte-identical payloads and dropDuplicates picks one of the
+        # equals — without it the bootstrap path would commit both rows
+        # (breaking the keyed table forever) and the merge path would
+        # raise on its duplicate-key guard, replaying the same batch on
+        # every restart (a permanent poison pill).
+        extracted = (
+            extract_turns(batch_df, with_metrics=True)
+            .dropDuplicates(["conv_id", "turn_idx"])
+            .persist()
+        )
+        try:
+            # ONE lease spans the whole micro-batch (bootstrap + merge)
+            # INCLUDING the partition-count pin — ensure_num_partitions
+            # is a read-decide-write on _table.json, and pinning it
+            # unleased could race a batch runner on a brand-new sink
+            # (both read stored=None, both write, loser scatters rows)
+            with held_lease(out_dir) as (_l, lost):
+                np = sink.ensure_num_partitions(num_partitions)
+                pids = _affected_pids(
+                    extracted.select("conv_id").distinct(), np
                 )
-            touched = sorted(set(pids) & done)
-            if touched:
-                merge_upsert(
-                    spark, out_dir,
-                    extracted.where(
-                        partition_id("conv_id", np).isin(touched)
-                    ),
-                    num_partitions=np, lease=False, _lease_lost=lost,
-                )
-        extracted.unpersist()
+                done = set(sink.committed())
+                fresh = sorted(set(pids) - done)
+                if fresh:
+                    # the stream IS the extraction for partitions it
+                    # reaches first: bootstrap them through the
+                    # copy-on-write commit path (merge_upsert's
+                    # extraction-first policy is for BATCH maintenance
+                    # callers, not this source)
+                    _rewrite_partitions(
+                        spark, sink,
+                        extracted.where(
+                            partition_id("conv_id", np).isin(fresh)
+                        ),
+                        fresh, np, "bootstrap", lease_lost=lost,
+                    )
+                touched = sorted(set(pids) & done)
+                if touched:
+                    merge_upsert(
+                        spark, out_dir,
+                        extracted.where(
+                            partition_id("conv_id", np).isin(touched)
+                        ),
+                        num_partitions=np, lease=False, _lease_lost=lost,
+                    )
+        finally:
+            # unpersist on EVERY exit — a failed micro-batch is retried
+            # by the engine, and each retry would otherwise pin another
+            # cached copy in executor storage for the session's life
+            extracted.unpersist()
 
     writer = stream.writeStream.foreachBatch(land).option(
         "checkpointLocation", checkpoint_dir
