@@ -175,3 +175,52 @@ def test_e16_pdfminer_gate():
     except ImportError:
         with pytest.raises(NotImplementedError):
             boxes_from_pdf_bytes(b"%PDF-1.4")
+
+
+def test_tokenizer_quote_junk_is_linear_time():
+    """Review regression (r4): a tag candidate full of quotes with no
+    closing '>' used to trigger exponential regex backtracking
+    (~2.6x per two quotes — a 123-byte payload could spin an executor
+    task for hours). The atomic attr alternation must stay linear."""
+    import time
+
+    from v2_ocr_spark.kernels.htmlx import flatten_html
+
+    payload = "<a " + '"x' * 400  # 2x the measured blow-up point
+    t0 = time.perf_counter()
+    flatten_html(payload)
+    assert time.perf_counter() - t0 < 1.0
+
+
+def test_tokenizer_end_tag_and_rawtext_parity_cases():
+    """Review regression (r4): cases OUTSIDE the _divergent_markup junk
+    guard where the fast path used to diverge from html.parser —
+    loose rawtext closers ('</scriptx>', '</script foo>' keep the
+    reference in rawtext) and leading-ws-plus-junk end tags
+    ('</ a y>' is a bogus comment, not an end tag)."""
+    from v2_ocr_spark.kernels.htmlx import flatten_html, flatten_html_ref
+
+    cases = [
+        "<script>a</scriptx>b</script>"
+        "<p>Body text twenty five characters here</p>",
+        "<style>.x{}</style foo>real</style>"
+        "<p>Body text twenty five chars ok</p>",
+        "<a href=x>link</ a y>"
+        "<p>Body text twenty five characters here</p>",
+        "</ div x>text here that is long enough to form a block",
+        "</div x>text here that is long enough to form a block",
+    ]
+    for s in cases:
+        assert flatten_html(s) == flatten_html_ref(s), s
+
+
+def test_parse_boxes_nondict_page_falls_back():
+    """Review regression (r4): a truthy non-dict 'page' value must fall
+    back to defaults, not AttributeError out of the totality contract."""
+    from v2_ocr_spark.kernels.pdflayout import layout_text
+
+    for payload in ('{"page": 612, "boxes": []}',
+                    '{"page": "letter", "boxes": ['
+                    '{"x0":0,"y0":0,"x1":10,"y1":10,"text":"hi"}]}'):
+        text, spans = layout_text(payload)
+        assert isinstance(text, str)

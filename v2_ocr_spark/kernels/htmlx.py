@@ -227,22 +227,43 @@ _TOKEN = re.compile(
     r"|<![^>]*(?:>|$)"
     r"|<\?[^>]*(?:>|$)"
     r"|</>"
-    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*(?:>|$)"
-    # '</' + non-letter = bogus comment (w3c end-tag-open-state):
+    # end tags mirror html.parser's TWO-tier recognition exactly:
+    # strict endtagfind ('</' + optional ws + name + optional ws + '>')
+    # first, then the tolerant form — which per tagfind_tolerant allows
+    # trailing junk but NO leading whitespace ('</ div x>' is a bogus
+    # comment in the reference, not an end tag; a single loose
+    # alternative accepting both at once popped the stack where the
+    # reference leaves the element open, flipping link-density
+    # classification downstream)
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*(?:>|$)"
+    r"|</([a-zA-Z][^\t\n\r\f />]*)[^>]*(?:>|$)"
+    # '</' + anything else = bogus comment (w3c end-tag-open-state):
     # html.parser consumes silently to the next '>'
     r"|</[^>]*(?:>|$)"
     # attrs: quoted atoms first (protects '>' inside quotes), then any
     # other non-'>' char, then a STRAY quote (html.parser's tolerant
-    # attr parsing accepts lone quotes in names/values)
-    r"|<([a-zA-Z][^\t\n\r\f />]*)((?:\"[^\"]*\"|'[^']*'|[^>\"']|[\"'])*?)(/?)>"
+    # attr parsing accepts lone quotes in names/values). The alternation
+    # is ATOMIC ((?>...), Python 3.11+): each atom's choice commits, so
+    # a failed overall match (tag candidate with quotes and no '>')
+    # fails in linear time — the backtrackable form explored
+    # exponentially many quote tilings (~2.6x per two quotes; a
+    # 123-byte junk payload could spin an executor task for hours).
+    # Success-path semantics are unchanged: the engine's first-found
+    # match already committed to the leftmost alternative at each
+    # position; atomicity only removes the retry-on-failure paths.
+    r"|<([a-zA-Z][^\t\n\r\f />]*)((?>\"[^\"]*\"|'[^']*'|[^>\"']|[\"'])*?)(/?)>"
     r"|[^<]+"
     r"|<",
     re.S,
 )
-# html.parser CDATA_CONTENT_ELEMENTS: raw text until the closing tag
+# html.parser CDATA_CONTENT_ELEMENTS: raw text until a STRICT closing
+# tag (endtagfind: optional ws + name + optional ws + '>'); looser
+# closers like '</scriptx>' or '</script foo>' keep the reference in
+# rawtext mode (elem-mismatch / endtagfind-miss both handle_data), so
+# the fast path must not close on them either
 _RAWTEXT_CLOSE = {
-    "script": re.compile(r"</\s*script[^>]*>", re.I),
-    "style": re.compile(r"</\s*style[^>]*>", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
 
 
@@ -339,7 +360,10 @@ def flatten_html(text: str | None) -> list[dict]:
             pos += 1
             continue
         start, pos = pos, m.end()
-        end_tag, start_tag, _attrs, slash = m.group(1, 2, 3, 4)
+        end_strict, end_tol, start_tag, _attrs, slash = m.group(
+            1, 2, 3, 4, 5
+        )
+        end_tag = end_strict if end_strict is not None else end_tol
         if start_tag is not None:  # start tag
             tag = start_tag.lower()
             on_start(tag, bool(slash))

@@ -41,7 +41,6 @@ as the blocks kernel (reference regions?.. || "").
 from __future__ import annotations
 
 import json
-import re
 
 import pandas as pd
 
@@ -50,7 +49,6 @@ try:  # orjson parses ~6x faster; plain json is the fallback everywhere
 except ImportError:  # pragma: no cover - orjson is in the image
     _fastjson = None
 
-_WS = re.compile(r"\s+")
 
 
 def _loads(payload: str):
@@ -67,9 +65,10 @@ def _loads(payload: str):
 GUTTER_FRAC = 0.04  # min gutter width, as a fraction of page width
 PARA_GAP_FRAC = 0.8  # paragraph break when gap > this * median line height
 
-
-def _collapse(s: str) -> str:
-    return _WS.sub(" ", s).strip()
+# whitespace collapse is a parity-sensitive primitive shared with the
+# HTML kernel — ONE definition so a semantics fix can never land in
+# only one of them
+from v2_ocr_spark.kernels.htmlx import _collapse  # noqa: E402
 
 
 def _parse_boxes(payload: str | None):
@@ -85,7 +84,11 @@ def _parse_boxes(payload: str | None):
     raw = doc.get("boxes")
     if not isinstance(raw, list):
         return None
-    page = doc.get("page") or {}
+    page = doc.get("page")
+    if not isinstance(page, dict):
+        # a truthy non-dict page ({"page": 612}) must fall back, not
+        # AttributeError out of page.get below — totality contract
+        page = {}
     boxes = []
     append = boxes.append
     for b in raw:
