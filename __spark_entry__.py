@@ -75,10 +75,31 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_signature(f"{d}/transcripts.parquet"),
     )
     if key not in _EXTRACT_CACHE:
+        _evict_stale(_EXTRACT_CACHE, key)
         df = extract_turns(_transcripts(spark, sf_dir)).persist()
         df.count()
         _EXTRACT_CACHE[key] = df
     return _EXTRACT_CACHE[key]
+
+
+def _evict_stale(cache: dict, new_key: tuple) -> None:
+    """Drop entries keyed to OTHER Spark applications, plus this
+    app+dir's SUPERSEDED content signatures. Neither key can ever match
+    again, so without eviction a long-lived process that cycles
+    sessions (pytest) grows the dict forever — and an in-session
+    rewrite leaves the superseded signature's persisted DataFrame
+    pinned in executor storage for the rest of the session."""
+    stale = [
+        k for k in cache
+        if k[0] != new_key[0] or (k[1] == new_key[1] and k != new_key)
+    ]
+    for k in stale:
+        v = cache.pop(k)
+        for df in v if isinstance(v, tuple) else (v,):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
 
 
 def _conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,14 +134,6 @@ def _canon_spans(col: str = "spans") -> F.Column:
 
 def q_extract_all(spark, sf_dir):
     out = _extracted(spark, sf_dir)
-    return out.select("conv_id", "turn_idx", "extracted_text")
-
-
-def q_extract_markdown(spark, sf_dir):
-    from v2_ocr_spark.operators.extract import with_payload_kind
-
-    t = with_payload_kind(_transcripts(spark, sf_dir))
-    out = extract_turns(t.where(F.col("payload_kind") == "markdown"))
     return out.select("conv_id", "turn_idx", "extracted_text")
 
 
@@ -222,6 +235,7 @@ def _conv_corpus(spark, sf_dir):
         input_signature(f"{d}/transcripts.parquet"),
     )
     if key not in _CONV_CORPUS_CACHE:
+        _evict_stale(_CONV_CORPUS_CACHE, key)
         out = _extracted(spark, sf_dir)
         docs = (
             assemble(out, chunk_size=256)
@@ -343,7 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Total registered: 47 < 50, so EVERY operator gets a verdict.
         # ---- extraction core (first entry warms the shared cache) ----
         "extract_all_turns": q_extract_all,
-        "extract_markdown": q_extract_markdown,
+        "extract_markdown": _q_extract_kind("markdown"),
         "extract_html": _q_extract_kind("html"),
         "extract_pdf_layout": _q_extract_kind("pdf_layout"),
         "dom_node_stats": q_dom_node_stats,

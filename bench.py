@@ -142,7 +142,9 @@ def main() -> None:
             {
                 "metric": "turns_per_sec_extraction",
                 "value": turns_per_sec,
-                "unit": "sec",
+                # the headline value is a THROUGHPUT; the sec-keyed
+                # per-query timings live under "queries"
+                "unit": "turns/sec",
                 "queries": timings,
                 "sf": _sf(SF_DIR),
                 "n_turns": n_turns,

@@ -96,8 +96,15 @@ def run_level(units: int) -> dict:
          MODE],
         capture_output=True, text=True, check=True,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        # fail with the worker's streams attached — an IndexError after
+        # minutes of JVM work gives nothing actionable
+        raise RuntimeError(
+            f"worker for {units} units emitted no JSON line;\n"
+            f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -118,6 +125,8 @@ def main() -> None:
     # single lucky interference window must not decide it (the best
     # pass is still reported for context)
     import statistics
+
+    RATIO = HIGH // LOW
 
     effs = sorted(s[0] for s in samples)
     median_eff = round(statistics.median(effs), 4)
@@ -156,9 +165,9 @@ def main() -> None:
                 "|---|---|---|---|---|\n"
                 f"| N | {LOW} | {low['cores']} | {low['sec']} | "
                 f"{low['turns_per_sec']} |\n"
-                f"| 4N | {HIGH} | {high['cores']} | {high['sec']} | "
+                f"| {RATIO}N | {HIGH} | {high['cores']} | {high['sec']} | "
                 f"{high['turns_per_sec']} |\n\n"
-                f"**Scaling efficiency** = (thr_4N/thr_N)/4: median "
+                f"**Scaling efficiency** = (thr_{RATIO}N/thr_N)/{RATIO}: median "
                 f"**{median_eff}**, best {max(effs)}, all passes {effs} "
                 f"(target >= 0.8: "
                 f"{'PASS' if median_eff >= 0.8 else 'FAIL'})\n"
@@ -181,8 +190,8 @@ def main() -> None:
             "| level | cores | wall sec | turns/sec |\n"
             "|---|---|---|---|\n"
             f"| N | {LOW} | {low['sec']} | {low['turns_per_sec']} |\n"
-            f"| 4N | {HIGH} | {high['sec']} | {high['turns_per_sec']} |\n\n"
-            f"**Scaling efficiency** = (thr_{HIGH}/thr_{LOW})/4: median "
+            f"| {RATIO}N | {HIGH} | {high['sec']} | {high['turns_per_sec']} |\n\n"
+            f"**Scaling efficiency** = (thr_{HIGH}/thr_{LOW})/{RATIO}: median "
             f"**{median_eff}**, best {max(effs)}, all passes {effs} "
             f"(target >= 0.8: {'PASS' if median_eff >= 0.8 else 'FAIL'})\n"
         )

@@ -52,6 +52,11 @@ def main() -> None:
     from v2_ocr_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    # a typo'd name in a hand-typed chunk list must FAIL, not silently
+    # verify nothing ('0/0 OK', exit 0 — a dropped query ships green)
+    unknown = only - set(entry_mod.queries())
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     spark = get_spark(app_name="oracle-check", master="local[8]",
                       shuffle_partitions=8)
     con = duckdb.connect()

@@ -58,12 +58,14 @@ def main() -> None:
     c0 = base.select("conv_id").distinct().count()
 
     # -- point delete: first 25% of conversations by id ---------------
-    vic_ids = [
-        r.conv_id
-        for r in base.select("conv_id").distinct().orderBy("conv_id")
-        .limit(c0 // 4).collect()
-    ]
-    victims = spark.createDataFrame([(c,) for c in vic_ids], "conv_id string")
+    # victims stay a DATAFRAME end to end (limit, never collect) — at a
+    # large MAINT_PROBE_INPUT pulling 25% of all conversation ids to
+    # the driver is the exact OOM pattern delete_conversation_keys
+    # forbids; persisted because three stages consume the same set
+    victims = (
+        base.select("conv_id").distinct().orderBy("conv_id")
+        .limit(c0 // 4).persist()
+    )
     vic_rows = base.join(victims, "conv_id").count()
     t0 = time.perf_counter()
     M.delete_conversation_keys(spark, out, victims)
@@ -124,7 +126,7 @@ def main() -> None:
         "input": INPUT,
         "rows_extracted": n0,
         "conversations": c0,
-        "deleted_convs": len(vic_ids),
+        "deleted_convs": c0 // 4,
         "deleted_rows": vic_rows,
         "retention_rows": exp_drop,
         "rows_final": nf,
