@@ -149,7 +149,28 @@ def main() -> None:
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     if MODE == "executors":
-        with open("/root/repo/BENCH/EXECUTORS.md", "w", encoding="utf-8") as f:
+        # keep ALL prior run records (VERDICT r4 #1: append to the run
+        # history, never replace it — the gate's verdict is the latest
+        # entry, but the full co-tenancy-sensitive history is evidence)
+        path = "/root/repo/BENCH/EXECUTORS.md"
+        history = ""
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                prev = f.read()
+            marker = "\n## Run history"
+            tail = prev[prev.index(marker):] if marker in prev else ""
+            prev_line = ""
+            for ln in prev.splitlines():
+                if ln.startswith("**Scaling efficiency**"):
+                    prev_line = f"- (pre-history record) {ln}\n"
+            history = tail if tail else (
+                "\n## Run history (newest last)\n\n" + prev_line
+            )
+        history += (
+            f"- median {median_eff}, best {max(effs)}, passes {effs} "
+            f"({'PASS' if median_eff >= 0.8 else 'FAIL'})\n"
+        )
+        with open(path, "w", encoding="utf-8") as f:
             f.write(
                 "# BENCH/EXECUTORS — N vs 4N REAL executors "
                 "(local-cluster)\n\n"
@@ -171,6 +192,7 @@ def main() -> None:
                 f"**{median_eff}**, best {max(effs)}, all passes {effs} "
                 f"(target >= 0.8: "
                 f"{'PASS' if median_eff >= 0.8 else 'FAIL'})\n"
+                f"{history}"
             )
         return
     with open("/root/repo/BENCH/BASELINE.md", "w", encoding="utf-8") as f:
