@@ -428,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "results_scan": _rel(relational.results_scan),
         "semi_join_completed": _rel(relational.semi_join_completed),
         "approx_distinct_users": relational.approx_distinct_users,
+        "distinct_kmv": lambda spark, sf_dir: relational.distinct_kmv(
+            spark, sf_dir
+        ).orderBy("event_type"),
     }
 
 
@@ -1065,12 +1068,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST(mult * n AS BIGINT) AS total_samples "
             "FROM a ORDER BY doc_id"
         ),
-        # rows-only exceptions — the three honestly-APPROXIMATE
-        # operators (tuned-recall ANN and an HLL sketch have no exact
-        # SQL twin by nature; each recall/3-sigma-tested in tests/):
-        # ann_ivf_topk, ann_srp_lsh_topk, approx_distinct_users.
+        # ---- ANN candidate twins (fixtures/oracle_expected.py):
+        # SRP planes and IVF centroids are fully deterministic, so the
+        # candidate set is reimplemented in pure Python and recorded as
+        # expected parquet; DuckDB re-ranks those candidates with its
+        # OWN cosine + window (the ann_brute_force_topk basis), so the
+        # exact-rerank tail is verified independently too. ----
+        "ann_srp_lsh_topk": _ann_rerank_sql("srp_candidates_expected"),
+        "ann_ivf_topk": _ann_rerank_sql("ivf_candidates_expected"),
+        # KMV bottom-k distinct sketch: deterministic bottom-k of
+        # xxhash64(user_id) recomputed from the expected user-hash
+        # table — the oracle-able sketch twin of approx_distinct_users
+        "distinct_kmv": (
+            "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "j AS (SELECT d.event_type, d.user_id, uh.h FROM d "
+            f"JOIN read_parquet('{_ORACLE_DIR}/user_hash_expected.parquet') "
+            "uh USING (user_id)), "
+            "r AS (SELECT event_type, h, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY h, user_id) AS rk FROM j), "
+            "t AS (SELECT event_type, h, rk, "
+            "count(*) OVER (PARTITION BY event_type) AS m "
+            "FROM r WHERE rk <= 64) "
+            "SELECT event_type, CAST(m AS INT) AS sketch_size, "
+            "round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE) "
+            "ELSE 63.0 / (CAST(h AS DOUBLE) / 18446744073709551616.0 + 0.5) "
+            "END, 6) AS est_distinct "
+            "FROM t WHERE rk = m ORDER BY event_type"
+        ),
+        # rows-only exceptions — exactly one honestly-APPROXIMATE
+        # operator left: approx_distinct_users (HLL++ register layout
+        # is engine-internal, permanently rows-only by design;
+        # 3-sigma-tested vs exact in tests/, and the deterministic
+        # KMV sketch entry above is its fully-oracled twin).
     }
     return _compose_combos(sql)
+
+
+def _ann_rerank_sql(cand_parquet: str, k: int = 5) -> str:
+    """Shared exact-rerank tail over an expected candidate table — the
+    DuckDB twin of similarity._topk at candidate scope."""
+    return (
+        f"WITH cand AS (SELECT query_id, nbr_id FROM read_parquet("
+        f"'{_ORACLE_DIR}/{cand_parquet}.parquet')), "
+        "u AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        "s AS (SELECT c.query_id, c.nbr_id, "
+        "list_cosine_similarity(q.e, n.e) AS cosine, "
+        "row_number() OVER (PARTITION BY c.query_id "
+        "ORDER BY list_cosine_similarity(q.e, n.e) DESC, c.nbr_id) AS rank "
+        "FROM cand c JOIN u q ON q.vec_id = c.query_id "
+        "JOIN u n ON n.vec_id = c.nbr_id) "
+        "SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, "
+        f"round(cosine, 6) AS cosine FROM s WHERE rank <= {k} "
+        "ORDER BY query_id, rank"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -275,6 +275,38 @@ def test_approx_distinct_within_tolerance(spark):
         )
 
 
+def test_distinct_kmv_sketch(spark):
+    """KMV bottom-k sketch: exact when the sketch is not full,
+    (k-1)/u_k within ~3/sqrt(k-2) relative error when full, and the
+    pure-Python twin (xxh64_long bottom-k) reproduces it exactly —
+    the basis of the distinct_kmv DuckDB oracle."""
+    from v2_ocr_spark.kernels.xxh import xxh64_long
+    from v2_ocr_spark.operators.relational import distinct_kmv_for
+
+    k = 64
+    rows = [("small", u) for u in range(10)] + [
+        ("big", 1000 + u) for u in range(2000)
+    ]
+    e = spark.createDataFrame(
+        [(t, u) for t, u in rows for _ in range(2)],  # dup events
+        "event_type string, user_id long",
+    )
+    got = {
+        r["event_type"]: (r["sketch_size"], r["est_distinct"])
+        for r in distinct_kmv_for(e, k).collect()
+    }
+    # not-full branch: exact
+    assert got["small"] == (10, 10.0)
+    # full branch: within 3 sigma of exact (sigma ~ n/sqrt(k-2))
+    size, est = got["big"]
+    assert size == k
+    assert abs(est - 2000) <= 3 * 2000 / (k - 2) ** 0.5
+    # pure-Python twin reproduces the estimate (oracle basis)
+    hs = sorted(xxh64_long(1000 + u) for u in range(2000))
+    u_k = hs[k - 1] / 2.0**64 + 0.5
+    assert abs(est - (k - 1) / u_k) <= 5.001e-7
+
+
 def test_token_pack_bins_respect_budget_and_order(spark):
     """Packing is deterministic and per-source: starts are the
     exclusive running sum in doc_id order, bins are start // budget."""

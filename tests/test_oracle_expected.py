@@ -42,6 +42,21 @@ def test_xxh64_matches_spark(spark):
         assert xxh64_str(t) == got[t], f"xxh64 mismatch for {t!r}"
 
 
+def test_xxh64_long_matches_spark(spark):
+    """F.xxhash64 on a LongType column is the 8-LE-byte short-input
+    path — the basis for the IVF centroid order and the KMV sketch."""
+    from v2_ocr_spark.kernels.xxh import xxh64_long
+
+    vals = [0, 1, -1, 42, 2**31, -(2**63), 2**63 - 1, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", F.xxhash64("v").alias("h")).collect()
+    }
+    for v in vals:
+        assert xxh64_long(v) == got[v], f"xxh64_long mismatch for {v}"
+
+
 MICRO_DOCS = [
     (1, "the quick brown fox jumps over the lazy dog"),
     (2, "the quick brown fox jumps over the lazy cat"),
@@ -133,12 +148,112 @@ def test_expected_parquet_freshness():
     )
     with open(sig_path) as f:
         sig = json.load(f)
-    if not os.path.exists(sig["input"]):
-        pytest.skip("driver testdata not present on this machine")
-    assert oe.file_md5(sig["input"]) == sig["input_md5"], (
-        "testdata documents.parquet changed since oracle expectations "
-        "were generated — rerun python -m v2_ocr_spark.fixtures.oracle_expected"
+    inputs = [
+        ("input", "input_md5"),
+        ("embeddings_input", "embeddings_md5"),
+        ("events_input", "events_md5"),
+    ]
+    for path_key, md5_key in inputs:
+        assert path_key in sig and md5_key in sig, (
+            f"input_sig.json predates the {path_key} expectations — "
+            "rerun python -m v2_ocr_spark.fixtures.oracle_expected"
+        )
+        if not os.path.exists(sig[path_key]):
+            pytest.skip("driver testdata not present on this machine")
+        assert oe.file_md5(sig[path_key]) == sig[md5_key], (
+            f"testdata {sig[path_key]} changed since oracle expectations "
+            "were generated — rerun "
+            "python -m v2_ocr_spark.fixtures.oracle_expected"
+        )
+
+
+# ---------------------------------------------------------------------------
+# ANN candidate twins: pure-Python candidates + rerank == the operator
+# end to end on an adversarial micro corpus (zero vector, NaN vector,
+# duplicate vectors, near-ties)
+# ---------------------------------------------------------------------------
+
+def _micro_emb_rows():
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(8)]))
+    rows[3] = (3, [0.0] * 8)  # zero: dropped (query id < n_queries)
+    rows[12] = (12, [float("nan")] + [0.5] * 7)  # non-finite: dropped
+    rows[20] = (20, list(rows[21][1]))  # exact duplicate pair
+    return rows
+
+
+def _write_micro_emb(spark, tmp_path) -> str:
+    df = spark.createDataFrame(
+        _micro_emb_rows(), "vec_id long, embedding array<float>"
     )
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _f32(rows):
+    """The parquet round-trip stores float32 — the twin must hash the
+    same widened values the operator reads back."""
+    import struct
+
+    return [
+        (vid, [struct.unpack("f", struct.pack("f", x))[0] for x in vec])
+        for vid, vec in rows
+    ]
+
+
+def _pure_topk(units, cands, k):
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for q, n in cands:
+        by_q[q].append((-oe._dot(units[q], units[n]), n))
+    out = []
+    for q in sorted(by_q):
+        for rank, (negc, n) in enumerate(sorted(by_q[q])[:k], start=1):
+            out.append((q, rank, n, -negc))
+    return out
+
+
+def _assert_topk_equal(got_rows, exp):
+    got = [
+        (r["query_id"], r["rank"], r["nbr_id"], r["cosine"])
+        for r in got_rows
+    ]
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (e[0], e[1], e[2]) for e in exp
+    ]
+    for g, e in zip(got, exp):
+        # operator rounds half-up to 6; compare vs the raw twin cosine
+        assert abs(g[3] - e[3]) <= 5.001e-7, (g, e)
+
+
+def test_srp_twin_equals_operator(spark, tmp_path):
+    from v2_ocr_spark.operators import similarity
+
+    sf = _write_micro_emb(spark, tmp_path)
+    got = similarity.srp_lsh_topk(
+        spark, sf, k=3, n_queries=6, n_tables=8, n_bits=4
+    ).collect()
+    units = oe.unit_vectors(_f32(_micro_emb_rows()))
+    assert 3 not in units and 12 not in units  # drop policy
+    cands = oe.srp_candidates(units, n_queries=6, n_tables=8, n_bits=4)
+    _assert_topk_equal(got, _pure_topk(units, cands, 3))
+
+
+def test_ivf_twin_equals_operator(spark, tmp_path):
+    from v2_ocr_spark.operators import similarity
+
+    sf = _write_micro_emb(spark, tmp_path)
+    got = similarity.ivf_topk(
+        spark, sf, k=3, n_queries=6, nlist=5, nprobe=2
+    ).collect()
+    units = oe.unit_vectors(_f32(_micro_emb_rows()))
+    cands = oe.ivf_candidates(units, n_queries=6, nlist=5, nprobe=2)
+    _assert_topk_equal(got, _pure_topk(units, cands, 3))
 
 
 def test_fake_codec_dims_are_md5_derived(spark):

@@ -6,9 +6,10 @@ Usage: python tools/check_oracles.py [query ...]
 
 ORACLE_SF_DIR overrides the data dir (default sf0.01 — what the driver
 uses). Running at sf0.1 is a scale-robustness check the driver never
-performs; the four expected-parquet oracles (rolling_fingerprint,
-dedup_simhash, multimodal_image_dhash/_near_dup) are pinned to sf0.01
-input and are skipped automatically on any other dir.
+performs; the expected-parquet oracles (rolling_fingerprint,
+dedup_simhash, multimodal_image_dhash/_near_dup, the two ANN candidate
+twins, and the KMV user-hash twin) are pinned to sf0.01 input and are
+skipped automatically on any other dir.
 """
 
 from __future__ import annotations

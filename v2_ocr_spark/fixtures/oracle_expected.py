@@ -29,10 +29,11 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import zlib
 
-from v2_ocr_spark.kernels.xxh import xxh64_str
+from v2_ocr_spark.kernels.xxh import xxh64_long, xxh64_str
 
 TESTDATA_SF = "/root/testdata/sf0.01"
 # resolve through the SAME env var every reader uses
@@ -98,6 +99,114 @@ def dhash64(text: str) -> int | None:
             if grid[r * 9 + c + 1] > grid[r * 9 + c]:
                 h |= 1 << (r * 8 + c)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# ANN candidate twins (similarity.srp_lsh_topk / ivf_topk)
+#
+# The two tuned-recall ANN entries are fully deterministic: SRP
+# hyperplanes derive from a fixed numpy PCG64 seed and IVF centroids
+# from xxhash64(vec_id) order — so the CANDIDATE set (which vectors
+# each query is allowed to score) is reproducible with plain loops.
+# The expected parquet records that candidate set; the DuckDB oracle
+# then re-ranks it with its OWN list_cosine_similarity + window, so
+# the exact-rerank tail is verified independently (same basis as the
+# green ann_brute_force_topk oracle). The ONLY numpy use here is the
+# plane matrix itself — `rng.standard_normal` IS the operator's spec
+# for the planes, shared the same way xxh64 is a shared primitive and
+# pinned against the production signatures in
+# tests/test_oracle_expected.py; every dot product, sign bit, bucket
+# id, assignment and probe below is a plain-Python loop.
+# ---------------------------------------------------------------------------
+
+def unit_vectors(rows: list[tuple[int, list[float] | None]]) -> dict[int, list[float]]:
+    """Twin of similarity.with_unit_norm's drop-then-normalize: zero,
+    NULL-element, and non-finite vectors are directionless/corrupt and
+    yield no unit vector."""
+    units: dict[int, list[float]] = {}
+    for vid, vec in rows:
+        if vec is None or any(
+            x is None or not math.isfinite(x) for x in vec
+        ):
+            continue
+        n = math.sqrt(sum(float(x) * float(x) for x in vec))
+        if n == 0.0 or not math.isfinite(n):
+            continue
+        units[vid] = [float(x) / n for x in vec]
+    return units
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    return sum(x * y for x, y in zip(a, b))
+
+
+def srp_candidates(
+    units: dict[int, list[float]],
+    n_queries: int = 10,
+    n_tables: int = 32,
+    n_bits: int = 6,
+    seed: int = 42,
+) -> list[tuple[int, int]]:
+    """Twin of the candidate stage of similarity.srp_lsh_topk: sign
+    bits against the seeded plane matrix, bucket per table, candidates
+    = corpus vectors sharing ANY (table, bucket) with the query."""
+    import numpy as np  # plane-matrix spec primitive only (see above)
+
+    dim = len(next(iter(units.values())))
+    planes = (
+        np.random.default_rng(seed)
+        .standard_normal((n_tables * n_bits, dim))
+        .tolist()
+    )
+    buckets: dict[tuple[int, int], set[int]] = {}
+    sigs: dict[int, list[tuple[int, int]]] = {}
+    for vid, u in units.items():
+        keys = []
+        for t in range(n_tables):
+            b = 0
+            for j in range(n_bits):
+                if _dot(u, planes[t * n_bits + j]) > 0:
+                    b |= 1 << j
+            keys.append((t, b))
+            buckets.setdefault((t, b), set()).add(vid)
+        sigs[vid] = keys
+    cands: set[tuple[int, int]] = set()
+    for q in (vid for vid in units if vid < n_queries):
+        for key in sigs[q]:
+            for vid in buckets[key]:
+                if vid != q:
+                    cands.add((q, vid))
+    return sorted(cands)
+
+
+def ivf_candidates(
+    units: dict[int, list[float]],
+    n_queries: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> list[tuple[int, int]]:
+    """Twin of the candidate stage of similarity.ivf_topk: centroids =
+    the nlist vectors with lowest (signed) xxhash64(vec_id) in hash
+    order, every vector assigned to its argmax-cosine centroid
+    (tiebreak asc cell_id), queries probe their nprobe best cells."""
+    order = sorted(units, key=xxh64_long)
+    cents = [(cid + 1, units[vid]) for cid, vid in enumerate(order[:nlist])]
+    assign: dict[int, int] = {}
+    for vid, u in units.items():
+        best = max(cents, key=lambda c: (_dot(u, c[1]), -c[0]))
+        assign[vid] = best[0]
+    cands: set[tuple[int, int]] = set()
+    for q in (vid for vid in units if vid < n_queries):
+        probed = {
+            c[0]
+            for c in sorted(
+                cents, key=lambda c: (-_dot(units[q], c[1]), c[0])
+            )[:nprobe]
+        }
+        for vid, cell in assign.items():
+            if cell in probed and vid != q:
+                cands.add((q, vid))
+    return sorted(cands)
 
 
 # ---------------------------------------------------------------------------
@@ -174,12 +283,59 @@ def generate(out_dir: str = OUT_DIR, sf_dir: str = TESTDATA_SF) -> dict:
         os.path.join(out_dir, "dhash_expected.parquet"),
     )
 
+    def _pairs_table(rows: list[tuple[int, int]], a: str, b: str):
+        return pa.table(
+            {
+                a: pa.array([r[0] for r in rows], pa.int64()),
+                b: pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    emb_src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = pq.read_table(emb_src, columns=["vec_id", "embedding"]).to_pylist()
+    units = unit_vectors([(r["vec_id"], r["embedding"]) for r in emb])
+    srp = srp_candidates(units)
+    ivf = ivf_candidates(units)
+    pq.write_table(
+        _pairs_table(srp, "query_id", "nbr_id"),
+        os.path.join(out_dir, "srp_candidates_expected.parquet"),
+    )
+    pq.write_table(
+        _pairs_table(ivf, "query_id", "nbr_id"),
+        os.path.join(out_dir, "ivf_candidates_expected.parquet"),
+    )
+
+    ev_src = os.path.join(sf_dir, "events.parquet")
+    users = sorted(
+        {
+            r["user_id"]
+            for r in pq.read_table(ev_src, columns=["user_id"]).to_pylist()
+        }
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "h": pa.array([xxh64_long(u) for u in users], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "user_hash_expected.parquet"),
+    )
+
     sig = {
         "input": src,
         "input_md5": file_md5(src),
         "n_docs": len(docs),
         "n_simhash": len(sim_rows),
         "n_dhash": len(dh_rows),
+        "embeddings_input": emb_src,
+        "embeddings_md5": file_md5(emb_src),
+        "n_units": len(units),
+        "n_srp_candidates": len(srp),
+        "n_ivf_candidates": len(ivf),
+        "events_input": ev_src,
+        "events_md5": file_md5(ev_src),
+        "n_users": len(users),
     }
     with open(os.path.join(out_dir, "input_sig.json"), "w") as f:
         json.dump(sig, f, indent=1)

@@ -77,3 +77,14 @@ def xxh64_signed(data: bytes, seed: int = SPARK_SEED) -> int:
 def xxh64_str(s: str, seed: int = SPARK_SEED) -> int:
     """Signed XXH64 of a string's UTF-8 bytes — ``F.xxhash64(string_col)``."""
     return xxh64_signed(s.encode("utf-8"), seed)
+
+
+def xxh64_long(v: int, seed: int = SPARK_SEED) -> int:
+    """Signed XXH64 of a LongType column value — ``F.xxhash64(long_col)``.
+
+    Spark's XxHash64Function.hashLong processes the long as one 8-byte
+    little-endian stripe (n=8 short-input path), which is exactly
+    XXH64 of the value's 8 LE bytes. Pinned against F.xxhash64 on a
+    bigint column in tests/test_oracle_expected.py.
+    """
+    return xxh64_signed((v & _M).to_bytes(8, "little"), seed)

@@ -767,8 +767,76 @@ def approx_distinct_users(spark, sf_dir, rsd: float = 0.02):
     sketch path for cardinality at 10^12 rows (fixed-size sketch per
     group, map-side mergeable; exact distinct shuffles every key).
     Checked against exact counts within 3*rsd in tests (rows-only for
-    the driver: DuckDB's approx sketch differs)."""
+    the driver: DuckDB's approx sketch differs — HLL++ register layout
+    is engine-internal, so this entry is PERMANENTLY rows-only by
+    design; distinct_kmv below is the fully-oracled deterministic
+    sketch twin)."""
     e = _e(spark, sf_dir)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
+
+
+def distinct_kmv(spark, sf_dir, k: int = 64):
+    """Deterministic KMV (bottom-k / k-minimum-values) distinct-user
+    sketch per event type — the oracle-able mergeable sketch: keep the
+    k smallest xxhash64(user_id) values per group; if the sketch is
+    not full (< k distinct hashes seen) the estimate is the exact
+    count, else (k-1)/u_k where u_k is the k-th smallest hash
+    normalized to (0, 1]. Pure column ops over a deterministic hash,
+    so the DuckDB twin recomputes it exactly from the expected
+    user-hash parquet (fixtures/oracle_expected.py; xxh64_long pinned
+    byte-level vs F.xxhash64 in tests).
+
+    Scale shape: the only exact pass is the distinct on (type, user) —
+    the same shuffle HLL avoids, but KMV's bottom-k is what makes the
+    result deterministic AND mergeable (union of bottom-ks = bottom-k
+    of union). The per-group bottom-k is TWO-PHASE so no single sort
+    group ever holds a whole event type: phase 1 keeps k smallest per
+    (type, hash-salt) — each global bottom-k member survives its salt
+    group's local bottom-k, so no result changes — phase 2 ranks the
+    bounded n_salts*k survivors per type."""
+    return distinct_kmv_for(
+        _e(spark, sf_dir).select("event_type", "user_id"), k
+    )
+
+
+def distinct_kmv_for(e, k: int = 64, n_salts: int = 32):
+    d = e.select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type", "user_id", F.xxhash64("user_id").alias("h")
+    )
+    w1 = Window.partitionBy("event_type", F.pmod("h", F.lit(n_salts))).orderBy(
+        "h", "user_id"
+    )
+    part = (
+        h.withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    top = (
+        part.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .withColumn(
+            "m", F.count("*").over(Window.partitionBy("event_type"))
+        )
+    )
+    # u = h/2^64 + 0.5 maps the signed hash into (0, 1] with ONLY
+    # exact double ops after the int64->double rounding, so Spark and
+    # DuckDB compute bit-identical estimates (adding 2^63 as an
+    # integer literal first would hit engine-specific literal typing)
+    u = F.col("h").cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    return (
+        top.where(F.col("rk") == F.col("m"))
+        .select(
+            "event_type",
+            F.col("m").cast("int").alias("sketch_size"),
+            F.round(
+                F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+                    F.lit(float(k - 1)) / u
+                ),
+                6,
+            ).alias("est_distinct"),
+        )
     )
