@@ -112,9 +112,35 @@ def test_multimodal_meta_plumbing(spark):
     assert (meta["byte_len"] > 12).all()
 
 
-def test_multimodal_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real_image(b"\x89PNG")
+def test_multimodal_real_codec_gate(spark):
+    """Pillow gate mirrors the pdfminer gate: absent ->
+    NotImplementedError at the decode entry point; present -> a real
+    PNG decodes through the SAME mapInPandas plumbing (schema,
+    batching, and the undecodable-row degrade are identical to the
+    fake-codec path)."""
+    if not multimodal.pil_available():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_real_image(b"\x89PNG")
+        return
+    import io  # pragma: no cover - exercised only with PIL present
+
+    from PIL import Image  # pragma: no cover
+
+    buf = io.BytesIO()  # pragma: no cover
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")  # pragma: no cover
+    imgs = spark.createDataFrame(  # pragma: no cover
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"junk"))],
+        "doc_id long, image binary",
+    )
+    rows = {  # pragma: no cover
+        r["doc_id"]: r
+        for r in multimodal.image_meta_for(imgs, real_codec=True).collect()
+    }
+    assert rows[1]["magic_ok"] and (  # pragma: no cover
+        rows[1]["width"], rows[1]["height"]
+    ) == (3, 2)
+    assert not rows[2]["magic_ok"]  # pragma: no cover
+    assert (rows[2]["width"], rows[2]["height"]) == (0, 0)  # pragma: no cover
 
 
 def test_multimodal_resize_plumbing(spark):

@@ -64,18 +64,23 @@ def with_fake_image(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """The vectorized 'decoder' — parses the fake header per Arrow
-    batch. A real deployment swaps this body for PIL/libvips calls;
-    the signature, schema, and batching stay identical."""
+def _decode_fimg(b: bytes) -> tuple[bool, int, int]:
+    """(ok, width, height) from the deterministic FIMG fake header."""
+    if b[:4] == MAGIC and len(b) >= 12:
+        return (True, *struct.unpack(">ii", b[4:12]))
+    return (False, 0, 0)
+
+
+def decode_image_batch(pdf: pd.DataFrame, decode=None) -> pd.DataFrame:
+    """The vectorized 'decoder' — one (ok, width, height) call per row
+    of the Arrow batch. `decode` defaults to the FIMG fake-header
+    parse; pass decode_real_image for the Pillow-gated real codec —
+    signature, schema, and batching are identical either way."""
+    decode = decode or _decode_fimg
     metas = []
     for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
         b = bytes(buf)
-        ok = b[:4] == MAGIC and len(b) >= 12
-        if ok:
-            width, height = struct.unpack(">ii", b[4:12])
-        else:
-            width = height = 0
+        ok, width, height = decode(b)
         metas.append(
             (
                 doc_id,
@@ -92,28 +97,66 @@ def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> typed image metadata via binary mapInPandas pass."""
+def image_meta(
+    spark: SparkSession, sf_dir: str, real_codec: bool = False
+) -> DataFrame:
+    """documents -> typed image metadata via binary mapInPandas pass.
+
+    real_codec=True decodes with Pillow (environment-gated, same
+    pattern as pdflayout.boxes_from_pdf_bytes) — the fixture's FIMG
+    bytes are not a real format, so the real path is for tables whose
+    binary column holds actual PNG/JPEG payloads."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     imgs = with_fake_image(docs).select("doc_id", "image")
+    return image_meta_for(imgs, real_codec=real_codec)
+
+
+def image_meta_for(imgs: DataFrame, real_codec: bool = False) -> DataFrame:
+    """Metadata pass over any (doc_id, image binary) table."""
+    decode = decode_real_image if real_codec else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield decode_image_batch(pdf)
+                yield decode_image_batch(pdf, decode)
 
     return imgs.mapInPandas(run, schema=META_DDL)
 
 
-def decode_real_image(_: bytes):
-    """Real codec entry point — unavailable in this container."""
-    raise NotImplementedError(
-        "image codecs (PIL/libvips) are not installed in this environment; "
-        "decode_image_batch demonstrates the Spark-side plumbing with the "
-        "deterministic FIMG fake format"
-    )
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_real_image(data: bytes) -> tuple[bool, int, int]:
+    """(ok, width, height) via Pillow (environment-gated).
+
+    The sandbox image ships no PIL; on a real cluster install Pillow
+    and the real decode lights up with no other change — undecodable
+    payloads degrade to (False, 0, 0) exactly like the fake parser, so
+    the downstream schema/NULL policy is identical.
+    """
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - environment gate
+        raise NotImplementedError(
+            "image codecs (PIL/libvips) are not installed in this "
+            "environment; decode_image_batch's default FIMG parse "
+            "demonstrates the Spark-side plumbing"
+        ) from exc
+    import io  # pragma: no cover - exercised only with PIL present
+
+    try:  # pragma: no cover
+        with Image.open(io.BytesIO(bytes(data))) as im:
+            return True, im.width, im.height
+    except Exception:  # noqa: BLE001 - corrupt bytes -> undecodable row
+        return False, 0, 0
 
 
 # ---------------------------------------------------------------------------
