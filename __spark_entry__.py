@@ -571,12 +571,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN reach r ON e.dst = r.doc_id), "
             "clusters AS (SELECT doc_id, min(reach) AS cluster_id "
             "FROM reach GROUP BY doc_id), "
-            "d2 AS (SELECT conv_id AS doc_id, "
+            # d2 is referenced by q, l, dec AND tok — inlined, each
+            # reference re-runs the per-conversation string_agg over
+            # every turn (4x the assembly at sf0.1); dec is referenced
+            # by tok and the final select. Same MATERIALIZED rationale
+            # as tn/sh/pairs above.
+            "d2 AS MATERIALIZED (SELECT conv_id AS doc_id, "
             "string_agg(norm, ' ' ORDER BY turn_idx) AS text "
             "FROM tn WHERE length(norm) > 0 GROUP BY conv_id), "
             f"q AS ({_quality_sql('d2', 'doc_id')}), "
             f"l AS ({_lang_id_sql('d2', 'doc_id')}), "
-            "dec AS (SELECT d.doc_id, l.pred_lang, q.quality, "
+            "dec AS MATERIALIZED (SELECT d.doc_id, l.pred_lang, q.quality, "
             "CASE WHEN length(d.text) < 100 THEN 'too_short' "
             "WHEN l.pred_lang NOT IN ('en','de','fr','es') THEN 'lang' "
             "WHEN q.quality < 0.5 THEN 'low_quality' "
@@ -1271,8 +1276,13 @@ def _shingle_ctes(src: str = "documents", threshold: float = 0.5,
                   id_col: str = "doc_id") -> str:
     """The inverted-index Jaccard CTE chain over any (id, text) source
     — `src` is a table name or a parenthesized subquery."""
+    # sh is referenced 3x (cnt + both sides of inter) and pairs 2x in
+    # the closure chains — AS MATERIALIZED, or DuckDB re-inlines (and
+    # re-RUNS) the shingle scan per reference, and inside a recursive
+    # CTE that means once per closure iteration (the measured
+    # 82 s -> 1.6 s pipeline_clean_pack trap, VERDICT r4 #7)
     return (
-        f"sh AS (SELECT {id_col} AS doc_id, "
+        f"sh AS MATERIALIZED (SELECT {id_col} AS doc_id, "
         "unnest(list_distinct(list_transform("
         "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
         "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) "
@@ -1281,7 +1291,7 @@ def _shingle_ctes(src: str = "documents", threshold: float = 0.5,
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "count(*) AS ni FROM sh a JOIN sh b ON a.shingle = b.shingle "
         "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-        "pairs AS (SELECT doc_a, doc_b, "
+        "pairs AS MATERIALIZED (SELECT doc_a, doc_b, "
         "round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard "
         "FROM inter JOIN cnt ca ON ca.doc_id = doc_a "
         "JOIN cnt cb ON cb.doc_id = doc_b "
@@ -1297,7 +1307,9 @@ _SHINGLE_CTES = _shingle_ctes()
 _CLUSTERS_CTES = (
     "WITH RECURSIVE "
     + _SHINGLE_CTES + ", "
-    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    # edges feeds the RECURSIVE step — materialized, or the closure
+    # re-derives it (and everything under it) every iteration
+    "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
     "UNION ALL SELECT doc_b, doc_a FROM pairs), "
     "reach AS (SELECT src AS doc_id, src AS reach FROM edges "
     "UNION SELECT e.src, r.reach FROM edges e JOIN reach r ON e.dst = r.doc_id), "
