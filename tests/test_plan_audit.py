@@ -137,6 +137,21 @@ def test_pair_producers_bake_in_no_sort(spark):
         assert "rangepartitioning" not in plan(df)
 
 
+def test_distinct_kmv_plan_has_partial_group_limit(spark):
+    """The KMV bottom-k must stay the one-shuffle two-phase shape:
+    Catalyst rewrites row_number() <= k into Partial + Final
+    WindowGroupLimit around the window exchange, so each map partition
+    ships at most k rows per group — the property that makes the
+    sketch safe on a skewed group at 10^12 rows. A regression (e.g.
+    an expression change that defeats the rewrite) would silently
+    revert to shuffling every distinct user into one sort group."""
+    from v2_ocr_spark.operators import relational
+
+    p = plan(relational.distinct_kmv(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p and "Final" in p
+
+
 def test_pipeline_clean_pack_plan_stays_bounded(spark):
     """The composed gate query OOMed the driver in development by
     carrying the dedup-closure lineage into the iterative clustering

@@ -791,32 +791,27 @@ def distinct_kmv(spark, sf_dir, k: int = 64):
     Scale shape: the only exact pass is the distinct on (type, user) —
     the same shuffle HLL avoids, but KMV's bottom-k is what makes the
     result deterministic AND mergeable (union of bottom-ks = bottom-k
-    of union). The per-group bottom-k is TWO-PHASE so no single sort
-    group ever holds a whole event type: phase 1 keeps k smallest per
-    (type, hash-salt) — each global bottom-k member survives its salt
-    group's local bottom-k, so no result changes — phase 2 ranks the
-    bounded n_salts*k survivors per type."""
+    of union). The per-group bottom-k needs no hand-rolled salting:
+    Catalyst rewrites `row_number() <= k` into Partial + Final
+    WindowGroupLimit around the one exchange (plan-pinned in tests),
+    so every map partition ships at most k rows per group and no sort
+    group ever holds a whole event type — the two-phase shape, one
+    shuffle. (A manual salt pre-pass was measured as a strictly worse
+    plan: one extra full exchange of the distinct pairs, with Spark
+    inserting its own group limits around it anyway.)"""
     return distinct_kmv_for(
         _e(spark, sf_dir).select("event_type", "user_id"), k
     )
 
 
-def distinct_kmv_for(e, k: int = 64, n_salts: int = 32):
+def distinct_kmv_for(e, k: int = 64):
     d = e.select("event_type", "user_id").distinct()
     h = d.select(
         "event_type", "user_id", F.xxhash64("user_id").alias("h")
     )
-    w1 = Window.partitionBy("event_type", F.pmod("h", F.lit(n_salts))).orderBy(
-        "h", "user_id"
-    )
-    part = (
-        h.withColumn("rk", F.row_number().over(w1))
-        .where(F.col("rk") <= k)
-        .drop("rk")
-    )
-    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
     top = (
-        part.withColumn("rk", F.row_number().over(w2))
+        h.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .withColumn(
             "m", F.count("*").over(Window.partitionBy("event_type"))
