@@ -110,6 +110,16 @@ def main() -> None:
                 "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
             ).vocabulary_topk(spark, "/root/testdata/sf0.001"),
         ),
+        (
+            "distinct_kmv — deterministic bottom-k distinct sketch",
+            "Catalyst rewrites row_number() <= k into Partial + Final "
+            "WindowGroupLimit around the ONE window exchange: each map "
+            "partition ships at most k rows per group, so a skewed "
+            "event type never lands whole on one sort task (r5; "
+            "plan-pinned — a hand-rolled salt pre-pass measured as a "
+            "strictly worse 3-exchange plan)",
+            relational.distinct_kmv(spark, "/root/testdata/sf0.001"),
+        ),
     ]
 
     out = io.StringIO()
