@@ -1085,7 +1085,8 @@ def oracle_sql() -> dict[str, str]:
         # xxhash64(user_id) recomputed from the expected user-hash
         # table — the oracle-able sketch twin of approx_distinct_users
         "distinct_kmv": (
-            "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "WITH d AS (SELECT DISTINCT event_type, user_id FROM events "
+            "WHERE user_id IS NOT NULL), "
             "j AS (SELECT d.event_type, d.user_id, uh.h FROM d "
             f"JOIN read_parquet('{_ORACLE_DIR}/user_hash_expected.parquet') "
             "uh USING (user_id)), "

@@ -805,7 +805,15 @@ def distinct_kmv(spark, sf_dir, k: int = 64):
 
 
 def distinct_kmv_for(e, k: int = 64):
-    d = e.select("event_type", "user_id").distinct()
+    # NULL user ids are DROPPED explicitly: Spark's xxhash64(NULL)
+    # degrades to the seed (42) — a phantom "user" that would collide
+    # across groups — while the oracle's hash-table join silently
+    # drops NULLs; symmetric drop is the only consistent contract
+    d = (
+        e.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
     h = d.select(
         "event_type", "user_id", F.xxhash64("user_id").alias("h")
     )
