@@ -301,6 +301,42 @@ def test_approx_distinct_within_tolerance(spark):
         )
 
 
+def test_ngram_pairs_string_ids_match_numeric_ids(spark):
+    """The r5 dictionary-encoding path (string doc ids -> mii longs ->
+    restore with least/greatest) must be output-invariant: the same
+    corpus keyed by strings and by numbers yields the same pair set.
+    Rows are inserted in NON-lexicographic order so the dictionary
+    order genuinely disagrees with the string order — the exact
+    condition under which a dropped misoriented pair (the prototype
+    bug) would lose half the output."""
+    import random
+
+    rng = random.Random(11)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = []
+    for i in range(30):
+        words = base.split()
+        if i % 3 == 0:
+            words[rng.randrange(len(words))] = f"tok{i}"
+        corpus.append((i, " ".join(words)))
+    rng.shuffle(corpus)  # insertion order != id order != string order
+    s_df = spark.createDataFrame(
+        [(f"conv{i:04d}", t) for i, t in corpus], "doc_id string, text string"
+    )
+    n_df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got_s = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs_for(s_df, threshold=0.3).collect()
+    }
+    got_n = {
+        (f"conv{r['doc_a']:04d}", f"conv{r['doc_b']:04d}", r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs_for(n_df, threshold=0.3).collect()
+    }
+    assert got_s == got_n and len(got_s) > 0
+    # orientation: doc_a < doc_b must hold on the STRING ids
+    assert all(a < b for a, b, _ in got_s)
+
+
 def test_distinct_kmv_sketch(spark):
     """KMV bottom-k sketch: exact when the sketch is not full,
     (k-1)/u_k within ~3/sqrt(k-2) relative error when full, and the
