@@ -92,7 +92,11 @@ def main() -> None:
         pairs.count()
         pairs.unpersist()  # uncached build: release it ourselves
 
-    timed("dedup_minhash_lsh", _lsh, runs=1)
+    # best-of-2 COLD passes (the cache clear keeps each run paying the
+    # full signature+bucket+verify cascade): this is the longest and
+    # noisiest single query, and a one-sample reading has repeatedly
+    # misread co-tenant interference as a 2x regression (BASELINE.md)
+    timed("dedup_minhash_lsh", _lsh, runs=2)
     timed(
         "ann_brute_force_topk",
         lambda: similarity.brute_force_topk(spark, SF_DIR).count(),
