@@ -502,27 +502,23 @@ def ngram_jaccard_pairs_for(
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         drop = df_counts.where(F.col("df") > max_df).select("shingle")
         sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
-    # STRING doc ids (conversation corpora) are dictionary-encoded to
-    # longs before the hot join: the candidate table has sum(df^2)
-    # rows (440M at the sf0.1 conversation corpus) and hashing two
-    # string keys per row in the (doc_a, doc_b) aggregate is the
-    # measured bottleneck — longs cut the pair stage ~2x (109 s ->
-    # 59 s); encoding the shingle join key instead measured FLAT, so
-    # only doc ids are encoded. Ids restore on the tiny thresholded
-    # pair set. The dictionary is frozen with an eager localCheckpoint:
-    # monotonically_increasing_id is lineage-nondeterministic, and a
-    # task retry re-numbering the dict mid-job would silently corrupt
-    # the restore join (numeric-id corpora skip all of this).
-    doc_dict = None
-    if dict(docs.dtypes)["doc_id"] == "string":
-        doc_dict = (
-            docs.select("doc_id")
-            .withColumn("did", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
-        )
-        sh = sh.join(doc_dict, "doc_id").select(
-            F.col("did").alias("doc_id"), "shingle"
-        )
+    # PROBED AND REJECTED (r5, recorded in BASELINE.md): dictionary-
+    # encoding string doc ids to longs before the hot join cut the
+    # pair stage 109 s -> 59 s at the sf0.1 conversation corpus (the
+    # (doc_a, doc_b) hash-agg over sum(df^2)=440M candidate rows is
+    # the bottleneck and string keys hash slowly; encoding the SHINGLE
+    # join key instead measured FLAT). But the compact long-key
+    # shuffle made AQE coalesce the final aggregate 400 -> 9 reduce
+    # partitions — it sizes partitions on shuffle BYTES, blind to the
+    # hash-agg state they expand into — and the composed sf0.1
+    # spark-submit smoke OOMed at the default 1 GiB heap in the spill
+    # merge (the string shuffle's very bulk is what keeps AQE's
+    # partitioning memory-safe here). A per-operator
+    # advisoryPartitionSizeInBytes override cannot attach to a lazily
+    # returned DataFrame, so the encoding is not keepable without a
+    # latent small-heap regression; output invariance across id
+    # representations stays pinned by
+    # test_ngram_pairs_string_ids_match_numeric_ids.
     # per-doc counts from the POST-filter set: a capped shingle must
     # leave both the intersection and the union, otherwise a shingle
     # shared by both docs still inflates the denominator and Jaccard
@@ -552,33 +548,12 @@ def ngram_jaccard_pairs_for(
     # for an ordering only the oracle hash needs; the gate adds orderBy
     # at registration (pinned by test_plan_audit's no-range-exchange
     # assertion on this path)
-    out = (
+    return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
-    if doc_dict is not None:
-        # restore string ids; dictionary order is NOT string order, so
-        # re-orient with least/greatest (each unordered pair appears
-        # exactly once either way — dropping the misoriented half
-        # instead would silently lose ~50% of the pairs)
-        ra = doc_dict.select(
-            F.col("did").alias("doc_a"), F.col("doc_id").alias("id_a")
-        )
-        rb = doc_dict.select(
-            F.col("did").alias("doc_b"), F.col("doc_id").alias("id_b")
-        )
-        out = (
-            out.join(ra, "doc_a")
-            .join(rb, "doc_b")
-            .select(
-                F.least("id_a", "id_b").alias("doc_a"),
-                F.greatest("id_a", "id_b").alias("doc_b"),
-                "jaccard",
-            )
-        )
-    return out
 
 
 def dedup_keep_list(
