@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_kmv": lambda spark, sf_dir: relational.distinct_kmv(
             spark, sf_dir
         ).orderBy("event_type"),
+        "sample_stratified": lambda spark, sf_dir: corpus.sample_stratified(
+            spark, sf_dir
+        ).orderBy("source", "doc_id"),
     }
 
 
@@ -942,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_frac FROM documents"
         ),
         "hash_sample": _hash_sample_sql(),
+        "sample_stratified": _sample_stratified_sql(),
         "dedup_lines": (
             # first-occurrence order via a per-(doc, line) window —
             # DuckDB's list_distinct does not preserve element order
@@ -1394,6 +1398,26 @@ def _sample_conversations_sql(rate: float = 0.1) -> str:
     return (
         f"SELECT conv_id, turn_idx FROM {_T} "
         f"WHERE {_md5_bucket_sql('conv_id')} < {hash_sample_cutoff(rate)}"
+    )
+
+
+def _sample_stratified_sql() -> str:
+    """Twin of corpus.sample_stratified: same cutoffs via the shared
+    stratified_cutoffs() derivation, same md5-bucket idiom."""
+    from v2_ocr_spark.operators.corpus import stratified_cutoffs
+
+    cuts, default_cut = stratified_cutoffs()
+    case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {c}" for k, c in cuts.items())
+        + f" ELSE {default_cut} END"
+    )
+    return (
+        "WITH m AS (SELECT source, doc_id, "
+        f"CAST({_md5_bucket_sql('doc_id')} AS INT) AS bucket, "
+        f"{case} AS cut FROM documents) "
+        "SELECT source, doc_id, bucket FROM m WHERE bucket < cut "
+        "ORDER BY source, doc_id"
     )
 
 

@@ -337,6 +337,40 @@ def test_ngram_pairs_string_ids_match_numeric_ids(spark):
     assert all(a < b for a, b, _ in got_s)
 
 
+def test_sample_stratified_matches_pure_python(spark):
+    """The stratified sampler's keep set equals an independent
+    pure-Python md5-bucket derivation over the real sf0.001 documents
+    — per-stratum cutoffs, default-rate fallback, bucket column and
+    the keep-all stratum all pinned."""
+    import hashlib
+
+    from v2_ocr_spark.operators import corpus
+
+    got = {
+        (r["source"], r["doc_id"], r["bucket"])
+        for r in corpus.sample_stratified(spark, SF).collect()
+    }
+    cuts, default_cut = corpus.stratified_cutoffs()
+    exp = set()
+    for r in (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "doc_id")
+        .collect()
+    ):
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        if b < cuts.get(r["source"], default_cut):
+            exp.add((r["source"], r["doc_id"], b))
+    assert got == exp and len(got) > 0
+    # the keep-all stratum keeps everything it has
+    n_src0_all = sum(1 for s, _, _ in exp if s == "src0")
+    n_src0_docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("source") == "src0")
+        .count()
+    )
+    assert n_src0_all == n_src0_docs
+
+
 def test_distinct_kmv_sketch(spark):
     """KMV bottom-k sketch: exact when the sketch is not full,
     (k-1)/u_k within ~3/sqrt(k-2) relative error when full, and the

@@ -513,3 +513,64 @@ def cross_source_overlap(
         .agg(F.count("*").alias("shared_shingles"))
         .orderBy("source_a", "source_b")
     )
+
+
+# default training-mix rates for the gate surface: one keep-all
+# stratum, two partial strata, and a default tail — every cutoff
+# branch exercised. Shared with the DuckDB twin via
+# stratified_cutoffs() so the two can never drift.
+STRATIFIED_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+STRATIFIED_DEFAULT_RATE = 0.1
+
+
+def stratified_cutoffs(
+    rates: dict[str, float] | None = None,
+    default_rate: float = STRATIFIED_DEFAULT_RATE,
+) -> tuple[dict[str, int], int]:
+    """(per-stratum md5-bucket cutoffs, default cutoff) — ONE
+    derivation shared by the Spark operator and its oracle SQL."""
+    from v2_ocr_spark.operators.textstats import hash_sample_cutoff
+
+    rates = STRATIFIED_RATES if rates is None else rates
+    return (
+        {k: hash_sample_cutoff(v) for k, v in sorted(rates.items())},
+        hash_sample_cutoff(default_rate),
+    )
+
+
+def sample_stratified(
+    spark, sf_dir, rates: dict[str, float] | None = None,
+    default_rate: float = STRATIFIED_DEFAULT_RATE,
+) -> DataFrame:
+    """Deterministic STRATIFIED sampling — the training-mix
+    constructor: keep each document iff its md5(doc_id) bucket falls
+    under its source's rate (unlisted sources use default_rate). The
+    per-stratum rate is how corpus mixes are actually built (oversample
+    books, downsample web), and the hash-bucket keep decision is
+    reproducible across runs, engines, partitionings and cluster sizes
+    — unlike RNG df.sampleBy, whose output changes with the partition
+    layout, which makes sampled corpora unauditable at 10^12 rows.
+
+    Scale shape: zero shuffle — one codegen'd scan-side filter; the
+    rate CASE dispatches on the (low-cardinality) source column and
+    the bucket math is the shared _md5_bucket expression the other
+    sampling operators already pin against DuckDB."""
+    return sample_stratified_for(
+        _docs(spark, sf_dir), rates, default_rate
+    )
+
+
+def sample_stratified_for(
+    docs: DataFrame, rates: dict[str, float] | None = None,
+    default_rate: float = STRATIFIED_DEFAULT_RATE,
+) -> DataFrame:
+    from v2_ocr_spark.operators.textstats import _md5_bucket
+
+    cuts, default_cut = stratified_cutoffs(rates, default_rate)
+    cut = F.lit(default_cut)
+    for src, c in cuts.items():
+        cut = F.when(F.col("source") == src, F.lit(c)).otherwise(cut)
+    h = _md5_bucket("doc_id")
+    return docs.where(h < cut).select(
+        "source", "doc_id", h.alias("bucket")
+    )
