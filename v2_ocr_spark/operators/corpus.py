@@ -515,6 +515,82 @@ def cross_source_overlap(
     )
 
 
+def decontaminate(
+    spark, sf_dir, shingle_n: int = 5, min_hits: int = 1,
+    bench_source: str = "src0",
+) -> DataFrame:
+    """PER-DOCUMENT benchmark decontamination over the documents table:
+    one source plays the held-out eval set, every other document gets
+    its shared-shingle count, hit fraction, and a contaminated flag.
+    cross_source_overlap is the source-PAIR summary of the same idea;
+    this is the row-level pass an actual training run filters on
+    ("drop every document that quotes the benchmark")."""
+    docs = _docs(spark, sf_dir)
+    return decontaminate_for(
+        docs.where(F.col("source") != bench_source),
+        docs.where(F.col("source") == bench_source),
+        shingle_n,
+        min_hits,
+    )
+
+
+def decontaminate_for(
+    docs: DataFrame, benchmark: DataFrame,
+    shingle_n: int = 5, min_hits: int = 1,
+) -> DataFrame:
+    """-> (doc_id, n_shingles, bench_hits, hit_frac, contaminated):
+    for each training document, how many of its DISTINCT word
+    n-gram shingles appear anywhere in the benchmark table.
+
+    Scale shape: the benchmark side is an EVAL set — small by
+    definition (contrast the corpus side at 10^12 turns) — so its
+    distinct shingle set is broadcast and the corpus-side pass is one
+    zero-shuffle shingle explode + broadcast-hash left join + a single
+    map-side-partial groupBy on doc_id. No corpus-vs-corpus join
+    exists on this path; if the "benchmark" ever IS corpus-scale,
+    drop the broadcast hint and this becomes a plain shuffle join —
+    but that input belongs to cross_source_overlap, not here.
+
+    NULL-text contract follows _shingle_set's callers: a NULL-text doc
+    has no shingles — it is kept in the output (n_shingles = 0,
+    contaminated = false) via the final left join so the report covers
+    every input document; '' yields the {''} singleton on both engines
+    (DuckDB string_split('') is ['']). Twin-checked byte-level against
+    DuckDB in tests/test_corpus_ops.py (the gate sits at its 50-entry
+    cap, so this op is pytest-twinned rather than gate-registered)."""
+    from v2_ocr_spark.operators.dedup import shingle_explode
+
+    bench_sh = (
+        shingle_explode(benchmark.select("doc_id", "text"), shingle_n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_sh = shingle_explode(docs.select("doc_id", "text"), shingle_n)
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("bench_hits"),
+        )
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint")
+    hits = F.coalesce(F.col("bench_hits"), F.lit(0)).cast("bigint")
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        hits.alias("bench_hits"),
+        F.round(
+            F.when(n_sh == 0, F.lit(0.0)).otherwise(
+                hits.cast("double") / n_sh.cast("double")
+            ),
+            6,
+        ).alias("hit_frac"),
+        (hits >= F.lit(min_hits)).alias("contaminated"),
+    )
+
+
 # default training-mix rates for the gate surface: one keep-all
 # stratum, two partial strata, and a default tail — every cutoff
 # branch exercised. Shared with the DuckDB twin via
