@@ -306,10 +306,14 @@ def generate(out_dir: str = OUT_DIR, sf_dir: str = TESTDATA_SF) -> dict:
     )
 
     ev_src = os.path.join(sf_dir, "events.parquet")
+    # NULL user ids are dropped to mirror distinct_kmv's explicit
+    # NULL-drop (and a None in the set would break sorted() anyway);
+    # current testdata has none, so output bytes are unchanged
     users = sorted(
         {
             r["user_id"]
             for r in pq.read_table(ev_src, columns=["user_id"]).to_pylist()
+            if r["user_id"] is not None
         }
     )
     pq.write_table(
