@@ -90,6 +90,21 @@ def test_decontaminate_planted(spark):
     assert rows[3].hit_frac == 0.0
 
 
+def test_decontaminate_self_is_total(spark):
+    # benchmark == corpus: every one of a doc's shingles is in the
+    # bench set by construction, so hit_frac is exactly 1.0 for every
+    # text-bearing doc — a containment invariant no fixture can fake
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    rows = decontaminate_for(docs, docs).collect()
+    assert len(rows) == 50
+    for r in rows:
+        if r.n_shingles:
+            assert r.bench_hits == r.n_shingles
+            assert r.hit_frac == 1.0 and r.contaminated
+        else:
+            assert not r.contaminated
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark):
     p = (
         decontaminate(spark, SF)
