@@ -1087,7 +1087,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_rerank_sql("ivf_candidates_expected"),
         # KMV bottom-k distinct sketch: deterministic bottom-k of
         # xxhash64(user_id) recomputed from the expected user-hash
-        # table — the oracle-able sketch twin of approx_distinct_users
+        # table — the oracle-able sketch twin of approx_distinct_users.
+        # k is interpolated from relational.KMV_K (the operator's
+        # default) so the two sides can never drift.
         "distinct_kmv": (
             "WITH d AS (SELECT DISTINCT event_type, user_id FROM events "
             "WHERE user_id IS NOT NULL), "
@@ -1098,10 +1100,11 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY event_type ORDER BY h, user_id) AS rk FROM j), "
             "t AS (SELECT event_type, h, rk, "
             "count(*) OVER (PARTITION BY event_type) AS m "
-            "FROM r WHERE rk <= 64) "
+            f"FROM r WHERE rk <= {relational.KMV_K}) "
             "SELECT event_type, CAST(m AS INT) AS sketch_size, "
-            "round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE) "
-            "ELSE 63.0 / (CAST(h AS DOUBLE) / 18446744073709551616.0 + 0.5) "
+            f"round(CASE WHEN m < {relational.KMV_K} THEN CAST(m AS DOUBLE) "
+            f"ELSE {relational.KMV_K - 1}.0 / "
+            "(CAST(h AS DOUBLE) / 18446744073709551616.0 + 0.5) "
             "END, 6) AS est_distinct "
             "FROM t WHERE rk = m ORDER BY event_type"
         ),

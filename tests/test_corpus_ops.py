@@ -38,11 +38,11 @@ def test_decontaminate_matches_duckdb_twin(spark):
       SELECT DISTINCT shingle FROM (
         SELECT {_shingle_sql(n)} AS shingle
         FROM read_parquet('{SF}/documents.parquet')
-        WHERE source = 'src0' AND text IS NOT NULL)),
+        WHERE source IS NOT DISTINCT FROM 'src0' AND text IS NOT NULL)),
     dsh AS MATERIALIZED (
       SELECT doc_id, {_shingle_sql(n)} AS shingle
       FROM read_parquet('{SF}/documents.parquet')
-      WHERE source <> 'src0' AND text IS NOT NULL),
+      WHERE source IS DISTINCT FROM 'src0' AND text IS NOT NULL),
     agg AS (
       SELECT d.doc_id, count(*) AS n_shingles,
              count(b.shingle) AS bench_hits
@@ -56,7 +56,7 @@ def test_decontaminate_matches_duckdb_twin(spark):
             6) AS hit_frac,
       coalesce(a.bench_hits, 0) >= 1 AS contaminated
     FROM (SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
-          WHERE source <> 'src0') t
+          WHERE source IS DISTINCT FROM 'src0') t
     LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id
     """
@@ -93,8 +93,14 @@ def test_decontaminate_planted(spark):
 def test_decontaminate_self_is_total(spark):
     # benchmark == corpus: every one of a doc's shingles is in the
     # bench set by construction, so hit_frac is exactly 1.0 for every
-    # text-bearing doc — a containment invariant no fixture can fake
-    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # text-bearing doc — a containment invariant no fixture can fake.
+    # The subtree is re-executed per pass inside decontaminate_for, so
+    # the 50-doc slice must be deterministic (bare LIMIT is not).
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(50)
+    )
     rows = decontaminate_for(docs, docs).collect()
     assert len(rows) == 50
     for r in rows:
@@ -103,6 +109,22 @@ def test_decontaminate_self_is_total(spark):
             assert r.hit_frac == 1.0 and r.contaminated
         else:
             assert not r.contaminated
+
+
+def test_decontaminate_null_source_is_training_side(spark, tmp_path):
+    # a NULL-source doc is NOT the benchmark: it lands on the training
+    # side and stays in the report. The plain != / == split evaluated
+    # NULL on both predicates and silently dropped it from BOTH sides.
+    text = "the quick brown fox jumps over the lazy dog"
+    spark.createDataFrame(
+        [(1, "src0", text), (2, "src1", text), (3, None, text)],
+        "doc_id bigint, source string, text string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r for r in decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {2, 3}
+    assert rows[3].contaminated and rows[3].hit_frac == 1.0
 
 
 def test_decontaminate_plan_broadcasts_benchmark(spark):

@@ -112,6 +112,23 @@ def test_multimodal_meta_plumbing(spark):
     assert (meta["byte_len"] > 12).all()
 
 
+def test_multimodal_null_image_degrades(spark):
+    # a NULL image cell is an undecodable payload, not a task failure
+    # (bytes(None) TypeError'd the whole Spark task) — same contract
+    # on both codec paths since the guard sits above the decoder
+    imgs = spark.createDataFrame(
+        [(1, bytearray(b"FIMG junk")), (2, None)],
+        "doc_id long, image binary",
+    )
+    rows = {
+        r["doc_id"]: r for r in multimodal.image_meta_for(imgs).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[2]["byte_len"] == 0 and not rows[2]["magic_ok"]
+    assert (rows[2]["width"], rows[2]["height"]) == (0, 0)
+    assert rows[2]["aspect"] == 0.0
+
+
 def test_multimodal_real_codec_gate(spark):
     """Pillow gate mirrors the pdfminer gate: absent ->
     NotImplementedError at the decode entry point; present -> a real
@@ -302,13 +319,16 @@ def test_approx_distinct_within_tolerance(spark):
 
 
 def test_ngram_pairs_string_ids_match_numeric_ids(spark):
-    """The r5 dictionary-encoding path (string doc ids -> mii longs ->
-    restore with least/greatest) must be output-invariant: the same
+    """Pair output must be id-REPRESENTATION-invariant: the same
     corpus keyed by strings and by numbers yields the same pair set.
-    Rows are inserted in NON-lexicographic order so the dictionary
-    order genuinely disagrees with the string order — the exact
-    condition under which a dropped misoriented pair (the prototype
-    bug) would lose half the output."""
+    This pins the contract against any future re-attempt of the
+    probed-and-rejected r5 dictionary-encoding path (string ids ->
+    dense longs -> restore with least/greatest; reverted in commit
+    507de17 — AQE coalescing OOMed the small-heap smoke). Rows are
+    inserted in NON-lexicographic order so a dictionary order would
+    genuinely disagree with the string order — the exact condition
+    under which a misoriented pair (the prototype bug) loses half
+    the output."""
     import random
 
     rng = random.Random(11)

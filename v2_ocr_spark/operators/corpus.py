@@ -524,11 +524,16 @@ def decontaminate(
     its shared-shingle count, hit fraction, and a contaminated flag.
     cross_source_overlap is the source-PAIR summary of the same idea;
     this is the row-level pass an actual training run filters on
-    ("drop every document that quotes the benchmark")."""
+    ("drop every document that quotes the benchmark").
+
+    The split is null-safe: a NULL-source doc is NOT the benchmark, so
+    it lands on the training side and stays in the report (a plain !=
+    would evaluate to NULL and silently drop it from BOTH splits)."""
     docs = _docs(spark, sf_dir)
+    is_bench = F.col("source").eqNullSafe(F.lit(bench_source))
     return decontaminate_for(
-        docs.where(F.col("source") != bench_source),
-        docs.where(F.col("source") == bench_source),
+        docs.where(~is_bench),
+        docs.where(is_bench),
         shingle_n,
         min_hits,
     )

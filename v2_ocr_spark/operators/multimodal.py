@@ -79,6 +79,11 @@ def decode_image_batch(pdf: pd.DataFrame, decode=None) -> pd.DataFrame:
     decode = decode or _decode_fimg
     metas = []
     for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+        if buf is None:
+            # a NULL image cell degrades like any undecodable payload
+            # (bytes(None) is a TypeError that would fail the task)
+            metas.append((doc_id, 0, False, 0, 0, 0.0))
+            continue
         b = bytes(buf)
         ok, width, height = decode(b)
         metas.append(

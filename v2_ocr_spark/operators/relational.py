@@ -777,7 +777,12 @@ def approx_distinct_users(spark, sf_dir, rsd: float = 0.02):
     )
 
 
-def distinct_kmv(spark, sf_dir, k: int = 64):
+# shared with the gate's DuckDB twin (__spark_entry__ interpolates
+# it into the oracle SQL) so the two can never drift on k
+KMV_K = 64
+
+
+def distinct_kmv(spark, sf_dir, k: int = KMV_K):
     """Deterministic KMV (bottom-k / k-minimum-values) distinct-user
     sketch per event type — the oracle-able mergeable sketch: keep the
     k smallest xxhash64(user_id) values per group; if the sketch is
@@ -804,7 +809,7 @@ def distinct_kmv(spark, sf_dir, k: int = 64):
     )
 
 
-def distinct_kmv_for(e, k: int = 64):
+def distinct_kmv_for(e, k: int = KMV_K):
     # NULL user ids are DROPPED explicitly: Spark's xxhash64(NULL)
     # degrades to the seed (42) — a phantom "user" that would collide
     # across groups — while the oracle's hash-table join silently
