@@ -1,17 +1,25 @@
-"""Decontamination — per-document benchmark n-gram contamination.
+"""Decontamination + inter-document boilerplate scrub.
 
-The driver gate sits at its 50-entry cap (CLAUDE.md), so this operator
-is verified by an IN-PYTEST DuckDB twin at the gate's rigor — full
-sorted-row value equality on the real sf0.001 documents table — plus a
-planted-contamination unit test and a physical-plan audit of the
-broadcast/zero-corpus-shuffle shape.
+The driver gate sits at its 50-entry cap (CLAUDE.md), so these
+operators are verified by IN-PYTEST DuckDB twins at the gate's rigor —
+full sorted-row value equality on the real sf0.001 documents table —
+plus planted unit tests and physical-plan audits of the
+broadcast/zero-corpus-shuffle shapes.
 """
 
 from __future__ import annotations
 
 import duckdb
+import pyspark.sql.functions as F
+import pytest
 
-from v2_ocr_spark.operators.corpus import decontaminate, decontaminate_for
+from v2_ocr_spark.operators.corpus import (
+    boilerplate_lines_for,
+    decontaminate,
+    decontaminate_for,
+    scrub_boilerplate,
+    scrub_boilerplate_for,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -140,3 +148,156 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     # never shuffles before its single map-side-partial doc_id agg
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p
+
+
+# ---------------------------------------------------------------------------
+# scrub_boilerplate — corpus-wide boilerplate-line removal
+
+
+def _scrub_twin_sql(path: str, min_docs: int) -> str:
+    # the (x, i) list_transform lambda carries the 1-based position the
+    # same way the dedup_lines gate oracle does; ANTI JOIN drops every
+    # occurrence of a boilerplate line
+    return f"""
+    WITH l AS MATERIALIZED (
+      SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        (x, i) -> struct_pack(line := x, pos := i))) AS t
+      FROM read_parquet('{path}/*.parquet') WHERE text IS NOT NULL),
+    lines AS MATERIALIZED (
+      SELECT doc_id, t.line AS line, t.pos AS pos FROM l),
+    boiler AS MATERIALIZED (
+      SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+      GROUP BY line HAVING count(*) >= {min_docs}),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_lines,
+             string_agg(line, chr(10) ORDER BY pos) AS scrubbed_text
+      FROM lines ANTI JOIN boiler USING (line)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+      CAST(coalesce(a.kept_lines, 0) AS INT) AS kept_lines,
+      coalesce(a.scrubbed_text, '') AS scrubbed_text
+    FROM read_parquet('{path}/*.parquet') d LEFT JOIN agg a USING (doc_id)
+    WHERE d.text IS NOT NULL
+    ORDER BY d.doc_id
+    """
+
+
+@pytest.fixture()
+def boiler_corpus(spark, tmp_path):
+    """The real sf0.001 documents with deterministically injected
+    site boilerplate: one banner + one blank separator shared by all
+    500 docs, a per-source footer shared by ~25 docs each (20
+    sources), the original single-line text kept unique per doc —
+    plus a NULL-text and an ''-text doc. sf0.001 texts have no
+    newlines and no cross-doc duplicate lines (probed), so without
+    injection the scrub path would be vacuous."""
+    path = f"{tmp_path}/documents.parquet"
+    raw = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    injected = raw.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COOKIE BANNER accept all cookies"),
+            F.lit(""),
+            F.col("text"),
+            F.concat(F.lit("(c) footer "), F.col("source")),
+        ).alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, "")], "doc_id bigint, text string"
+    )
+    injected.unionByName(extra).write.parquet(path)
+    return path
+
+
+def test_scrub_boilerplate_matches_duckdb_twin(spark, boiler_corpus):
+    got = [
+        (r.doc_id, r.n_lines, r.kept_lines, r.scrubbed_text)
+        for r in scrub_boilerplate(spark, str(boiler_corpus).rsplit(
+            "/documents.parquet", 1)[0]).orderBy("doc_id").collect()
+    ]
+    exp = [tuple(r) for r in duckdb.sql(
+        _scrub_twin_sql(boiler_corpus, 3)).fetchall()]
+    assert got == exp
+    # non-vacuous: the 500 injected docs each lose banner + blank +
+    # footer (3 of 4 lines) and keep their unique original line
+    assert len(got) == 501  # NULL-text doc excluded, ''-doc kept
+    injected = [r for r in got if r[0] < 900000]
+    assert all(r[1] == 4 and r[2] == 1 for r in injected)
+    # the ''-text doc: its single '' line collides with the injected
+    # blank separator (501 docs) -> fully scrubbed, kept as (1, 0, '')
+    empty = next(r for r in got if r[0] == 900002)
+    assert empty == (900002, 1, 0, "")
+
+
+def test_boilerplate_lines_report_matches_duckdb(spark, boiler_corpus):
+    docs = spark.read.parquet(str(boiler_corpus))
+    got = sorted(
+        (r.line, r.doc_freq)
+        for r in boilerplate_lines_for(docs, min_docs=3).collect()
+    )
+    exp = sorted(duckdb.sql(f"""
+        SELECT line, count(*) AS doc_freq FROM (
+          SELECT DISTINCT doc_id, unnest(string_split(text, chr(10)))
+            AS line
+          FROM read_parquet('{boiler_corpus}/*.parquet')
+          WHERE text IS NOT NULL)
+        GROUP BY line HAVING count(*) >= 3
+    """).fetchall())
+    assert got == exp
+    # banner + blank + 20 per-source footers
+    assert len(got) == 22
+
+
+def test_scrub_boilerplate_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "BOILER\nunique one\nBOILER"),
+            (2, "BOILER\nunique two"),
+            (3, "BOILER"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r for r in scrub_boilerplate_for(docs, min_docs=3).collect()
+    }
+    # NULL-text doc excluded; every text-bearing doc reported
+    assert set(rows) == {1, 2, 3, 5}
+    # within-doc repeat counts ONCE toward doc_freq (3 docs, not 4)…
+    # …but ALL its occurrences are scrubbed
+    assert (rows[1].n_lines, rows[1].kept_lines) == (3, 1)
+    assert rows[1].scrubbed_text == "unique one"
+    assert rows[2].scrubbed_text == "unique two"
+    # fully-scrubbed doc stays in the output as (1, 0, '')
+    assert (rows[3].n_lines, rows[3].kept_lines, rows[3].scrubbed_text) == (
+        1, 0, "")
+    # the ''-doc's '' line appears in only 1 doc -> kept: (1, 1, '')
+    assert (rows[5].n_lines, rows[5].kept_lines, rows[5].scrubbed_text) == (
+        1, 1, "")
+
+
+def test_scrub_boilerplate_rejects_degenerate_threshold(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="min_docs"):
+        scrub_boilerplate_for(docs, min_docs=1)
+
+
+def test_scrub_boilerplate_plan(spark):
+    p = (
+        scrub_boilerplate(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pure JVM: split/explode are codegen, nothing drops into Python
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    # the drop set is the broadcast side of a left-anti join — never
+    # the corpus-scale keep side
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # ordered reassembly is the collect_list ObjectHashAggregate
+    assert "ObjectHashAggregate" in p

@@ -596,6 +596,109 @@ def decontaminate_for(
     )
 
 
+def boilerplate_lines_for(docs: DataFrame, min_docs: int = 3) -> DataFrame:
+    """-> (line, doc_freq): every line of text that appears in at least
+    `min_docs` DISTINCT documents — corpus-wide boilerplate (site
+    headers, cookie banners, license footers). The inter-document
+    counterpart of textstats.dedup_lines (which scrubs repeats WITHIN
+    one document); a line repeated inside a single doc counts once.
+
+    Scale shape: explode is codegen (Generate, no Python), then a
+    distinct on (doc_id, line) with map-side partials collapsing
+    within-doc repeats before the shuffle, then a count keyed by line
+    (high cardinality, well spread). By Zipf the surviving >= min_docs
+    set is a short head, which is what makes the scrub's broadcast
+    anti-join viable."""
+    if min_docs < 2:
+        # min_docs=1 marks EVERY line boilerplate and scrubs the whole
+        # corpus — reject like the dedup thresholds reject <= 0
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+    )
+
+
+def scrub_boilerplate(
+    spark, sf_dir, min_docs: int = 3
+) -> DataFrame:
+    """Corpus-wide boilerplate-line removal over the documents table —
+    see scrub_boilerplate_for."""
+    return scrub_boilerplate_for(_docs(spark, sf_dir), min_docs)
+
+
+def scrub_boilerplate_for(docs: DataFrame, min_docs: int = 3) -> DataFrame:
+    """-> (doc_id, n_lines, kept_lines, scrubbed_text): remove every
+    line that appears in >= min_docs distinct documents (ALL of its
+    occurrences, in every document), keeping survivors in original
+    order — the C4/RefinedWeb-style inter-document boilerplate scrub
+    a web corpus needs before dedup/quality scoring. Reference analog:
+    the per-page cleanup pass (lib/ocr/mistral.ts:208-219) strips
+    repeated markup noise within a page; this is the corpus-level
+    version of the same idea.
+
+    Contracts (twin-checked byte-level vs DuckDB in
+    tests/test_corpus_ops.py — the gate sits at its 50-entry cap, so
+    this op is pytest-twinned rather than gate-registered, like
+    decontaminate):
+      * NULL-text docs are excluded (nothing to scrub) — the
+        dedup_lines contract; '' is a one-line doc whose single ''
+        line is scrubbable like any other.
+      * A doc whose every line is boilerplate stays in the output with
+        kept_lines = 0 and scrubbed_text '' (Spark array_join([]) is
+        ''; the DuckDB twin coalesces its NULL string_agg).
+      * Empty lines count like any line: blank separators shared by
+        >= min_docs docs are scrubbed too — the filter is exact, not
+        content-aware.
+
+    Scale shape: the boilerplate set (Zipf head, bounded by distinct
+    lines with doc_freq >= min_docs) is broadcast into a left-anti
+    join — same inversion as dedup's oversized-bucket guard: broadcast
+    the small DROP set, never the corpus-scale keep side. The corpus
+    then shuffles once on doc_id for the ordered reassembly
+    (sort_array over collected (pos, line) structs — the assemble W1
+    idiom). The line-split subtree runs twice (freq pass + keep pass);
+    it is pure codegen off the scan, cheaper than persisting the
+    exploded corpus. If a pathological corpus ever makes the drop set
+    too large to broadcast, remove the hint and this becomes a plain
+    shuffle anti-join — the semantics don't change."""
+    base = docs.where(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    boiler = boilerplate_lines_for(docs, min_docs).select("line")
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("scrubbed_text"),
+    )
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    return base.select("doc_id", n_lines.alias("n_lines")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.coalesce(F.col("kept_lines"), F.lit(0))
+        .cast("int")
+        .alias("kept_lines"),
+        F.coalesce(F.col("scrubbed_text"), F.lit("")).alias(
+            "scrubbed_text"
+        ),
+    )
+
+
 # default training-mix rates for the gate surface: one keep-all
 # stratum, two partial strata, and a default tail — every cutoff
 # branch exercised. Shared with the DuckDB twin via
