@@ -699,6 +699,132 @@ def scrub_boilerplate_for(docs: DataFrame, min_docs: int = 3) -> DataFrame:
     )
 
 
+# per-token surprise values are quantized to integer MICRO-BITS before
+# the per-doc aggregation: sums of doubles are partition-order-
+# dependent on a cluster (and differ run to run), so a float sum can
+# never hash-match an oracle; an int64 sum is exact and commutative.
+# 1e6 also swallows last-ulp log2 differences between the JVM's and
+# DuckDB's libm. Quantization error on the final bits/token is
+# <= 1e-6 — invisible at the round-to-6 oracle convention.
+_MICRO = 1_000_000
+
+
+def lm_logloss(spark, sf_dir, ref_source: str | None = None) -> DataFrame:
+    """Unigram-LM perplexity quality score over the documents table —
+    see lm_logloss_for."""
+    return lm_logloss_for(_docs(spark, sf_dir), ref_source)
+
+
+def lm_logloss_for(docs: DataFrame, ref_source: str | None = None) -> DataFrame:
+    """-> (doc_id, n_tokens, oov_tokens, bits_per_token, oov_frac):
+    CCNet/Gopher-style language-model quality scoring — train a
+    Laplace-smoothed unigram LM on a reference slice of the corpus and
+    score EVERY document by its mean per-token surprise (bits/token;
+    low = fluent/in-domain, high = noise/out-of-domain). The classic
+    pretraining filter: CCNet trains on Wikipedia and drops the
+    high-perplexity web tail. `ref_source=None` trains on the whole
+    corpus (self-scoring: outlier detection); `ref_source='wiki'`
+    trains on that source only (domain filtering — other sources' rare
+    tokens become OOV and surface in oov_frac).
+
+    Model: p(t) = (cnt_t + 1) / (N + V + 1) with cnt from the
+    reference slice, N = total reference tokens, V = reference vocab;
+    unseen tokens share the +1 bucket. surprise(t) =
+    log2(N + V + 1) - log2(cnt_t + 1), always >= 0 and finite — NaN is
+    impossible by construction (the CLAUDE.md scoring invariant), and
+    zero-token docs get NULL scores, never a 0/0.
+
+    Contracts (twin-checked byte-level vs DuckDB in
+    tests/test_lm_quality.py — the gate sits at its 50-entry cap, so
+    this op is pytest-twinned like decontaminate/scrub_boilerplate):
+      * NULL-text docs are excluded; ''/whitespace-only docs are kept
+        with n_tokens = 0 and NULL bits_per_token / oov_frac.
+      * Tokenization is the shared BPE_ISH pre-tokenizer over
+        lower(text), identical to vocabulary_topk / token_counts.
+      * Per-token surprise is quantized to integer micro-bits (see
+        _MICRO above) so the per-doc sum is exact BIGINT arithmetic —
+        order-independent on any cluster, hence oracle-exact.
+
+    Scale shape: one (doc_id, token) partial-agg shuffle collapses
+    within-doc repeats (Zipf: the exploded stream shrinks hard at the
+    map side), one token-keyed count shuffle over the reference slice,
+    then a token-keyed equi-join (vocab-scale right side — AQE
+    broadcasts it when small, shuffles when a 100 TB vocab isn't) and
+    a final doc_id agg of exact int64 sums. The two model scalars
+    (N, V) enter the plan as a broadcast one-row cross join — no
+    collect, no driver round-trip."""
+    base = docs.where(F.col("text").isNotNull())
+    ref = base if ref_source is None else base.where(
+        F.col("source") == ref_source
+    )
+
+    def _toks(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_ISH), F.lit(0)
+                )
+            ).alias("token"),
+        )
+
+    cnt = _toks(ref).groupBy("token").agg(F.count("*").alias("cnt"))
+    # N + V + 1 as ONE broadcast row; log2 of it quantized once
+    denom = cnt.agg(
+        F.round(
+            F.log2(F.sum("cnt") + F.count("*") + F.lit(1)) * _MICRO, 0
+        )
+        .cast("long")
+        .alias("_norm_micro")
+    )
+    tf = _toks(base).groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    scored = (
+        tf.join(cnt, "token", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "doc_id",
+            "tf",
+            F.when(F.col("cnt").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_oov"),
+            (
+                F.col("tf")
+                * (
+                    F.col("_norm_micro")
+                    - F.round(
+                        F.log2(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        * _MICRO,
+                        0,
+                    ).cast("long")
+                )
+            ).alias("_micro_bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("_n"),
+            F.sum(F.col("tf") * F.col("_oov")).alias("_oov_n"),
+            F.sum("_micro_bits").alias("_micro_sum"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("_oov_n"), F.lit(0))
+            .cast("int")
+            .alias("oov_tokens"),
+            F.round(
+                F.col("_micro_sum") / (F.col("_n") * F.lit(float(_MICRO))), 6
+            ).alias("bits_per_token"),
+            F.round(F.col("_oov_n") / F.col("_n"), 6).alias("oov_frac"),
+        )
+    )
+
+
 # default training-mix rates for the gate surface: one keep-all
 # stratum, two partial strata, and a default tail — every cutoff
 # branch exercised. Shared with the DuckDB twin via
