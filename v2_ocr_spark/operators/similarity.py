@@ -430,3 +430,261 @@ def srp_lsh_topk(
     result.count()
     sig.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means + SemDeDup-style within-cluster semantic near-dup
+# ---------------------------------------------------------------------------
+
+# centroid-update coordinates are quantized to integer NANO-units
+# before the per-cluster mean: a float sum across a distributed
+# groupBy is partition-order-dependent (and differs run to run), so
+# exact int64 sums are the only way the update — and therefore every
+# downstream assignment — can be bit-reproducible on any cluster and
+# twin-exact vs a pure-Python reimplementation. Quantization error is
+# 1e-9 per coordinate, invisible next to the model's own noise.
+_COORD_NANO = 1_000_000_000
+
+
+def _mean_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd update: per-cluster coordinate means via exact int64
+    sums (see _COORD_NANO), reassembled into ordered arrays. Clusters
+    that lost every member simply vanish (the classic empty-cell
+    shrink — deterministic, documented)."""
+    coords = (
+        assigned.select("cell_id", F.posexplode("unit").alias("j", "x"))
+        .groupBy("cell_id", "j")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * _COORD_NANO, 0).cast("long")
+            ).alias("qs"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cell_id",
+            "j",
+            (F.col("qs") / (F.col("n") * F.lit(float(_COORD_NANO)))).alias(
+                "c"
+            ),
+        )
+    )
+    cents = coords.groupBy("cell_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    return cents.withColumn(
+        "c2", _dot_pd(F.col("centroid"), F.col("centroid"))
+    )
+
+
+def _assign_euclid(emb_unit: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared euclidean
+    distance: argmin ||x - c||^2 == argmax (x.c - ||c||^2 / 2) for
+    unit x — no re-normalization step, so the whole iteration stays in
+    exact/per-row-deterministic arithmetic. Tiebreak asc cell_id.
+
+    Shape: broadcast the k-row centroid table (corpus x k scored rows
+    never shuffle — max_by is a declarative aggregate, so the argmax
+    collapses to ONE row per vector at the map side and the shuffle
+    carries corpus-size rows, not corpus x k; the window formulation
+    ivf_assign uses would shuffle all k candidates per vector)."""
+    scored = emb_unit.join(F.broadcast(cents)).select(
+        "vec_id",
+        "unit",
+        "cell_id",
+        (
+            _dot_pd(F.col("unit"), F.col("centroid"))
+            - F.col("c2") / 2
+        ).alias("score"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cell_id"),
+            F.struct(
+                F.col("score").alias("s"),
+                (-F.col("cell_id")).alias("nc"),
+            ),
+        ).alias("cell_id"),
+        # every candidate row of a vector carries the identical unit
+        # array, so any_value is semantically deterministic here
+        F.any_value("unit").alias("unit"),
+    )
+
+
+def kmeans_assign_for(
+    emb_unit: DataFrame, k: int = 16, n_iter: int = 3
+) -> DataFrame:
+    """-> (vec_id, unit, cell_id): Lloyd k-means over unit-normalized
+    embeddings — deterministic hash-order seeds (the ivf _centroids
+    pick), exactly n_iter integer-exact mean updates (_COORD_NANO),
+    assignment against the FINAL centroids. Fixed iteration count (not
+    convergence-tested) keeps the op deterministic and twin-checkable;
+    SemDeDup-style pipelines run a handful of iterations anyway —
+    cluster quality only has to be good enough to bound the
+    within-cluster pair scan.
+
+    Scale shape: per iteration, one broadcast of k centroid rows, one
+    map-side-collapsing argmax agg (see _assign_euclid), one
+    (cell_id, j) count shuffle for the update — all corpus-linear, no
+    corpus-scale broadcast/collect. Centroid tables are
+    localCheckpoint(eager)ed per iteration: the duplicate_clusters
+    lesson — persist never cuts lineage, and an O(n_iter)-deep plan
+    re-renders the whole chain per job. The input is persisted for the
+    loop and released before returning; the RESULT is persisted and
+    materialized — the CALLER owns unpersisting it (the
+    duplicate_clusters ownership convention).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    emb = emb_unit.select("vec_id", "unit").persist()
+    emb.count()
+    cents = (
+        _centroids(emb, k)
+        .withColumn("c2", _dot_pd(F.col("centroid"), F.col("centroid")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        cents = _mean_centroids(_assign_euclid(emb, cents)).localCheckpoint(
+            eager=True
+        )
+    result = _assign_euclid(emb, cents).persist()
+    result.count()
+    emb.unpersist()
+    return result
+
+
+def kmeans_clusters(
+    spark, sf_dir, k: int = 16, n_iter: int = 3
+) -> DataFrame:
+    """-> (vec_id, cluster_id): corpus embedding clustering — the
+    grouping stage of semantic dedup / topic bucketing. See
+    kmeans_assign_for. The RETURNED DataFrame is the persisted one
+    (caller owns release) — the unit-vector-bearing assignment it
+    projects from is released here, since unpersist() on a derived
+    projection would be a silent no-op for the caller."""
+    assigned = kmeans_assign_for(
+        with_unit_norm(_emb(spark, sf_dir)).select("vec_id", "unit"),
+        k,
+        n_iter,
+    )
+    out = assigned.select(
+        "vec_id", F.col("cell_id").alias("cluster_id")
+    ).persist()
+    out.count()
+    assigned.unpersist()
+    return out
+
+
+def semantic_near_dup_pairs(
+    spark,
+    sf_dir,
+    k: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.9,
+    max_cluster: int = 50_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs over the
+    embeddings table — see semantic_near_dup_pairs_for."""
+    emb = with_unit_norm(_emb(spark, sf_dir)).select("vec_id", "unit")
+    return semantic_near_dup_pairs_for(emb, k, n_iter, threshold, max_cluster)
+
+
+def semantic_near_dup_pairs_for(
+    emb_unit: DataFrame,
+    k: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.9,
+    max_cluster: int = 50_000,
+) -> DataFrame:
+    """-> (id_a, id_b, cluster_id, cosine): SemDeDup — cluster the
+    embedding space with k-means, then find cosine near-duplicates
+    ONLY within each cluster. The k-means stage turns the O(n^2)
+    all-pairs scan into sum-of-cluster-size-squared work: with k
+    chosen so clusters stay ~n/k, that is n^2/k — the published recipe
+    for semantic dedup at web scale (exact all-pairs is
+    cosine_near_dup_pairs, capped at 50k; LSH-recall pairs are the srp
+    path; THIS path trades bounded recall loss at cluster borders for
+    an exact scan inside each cluster).
+
+    Contracts (pure-Python twin in tests/test_semantic_dedup.py — the
+    gate sits at its 50-entry cap, so this op is pytest-twinned like
+    decontaminate / scrub_boilerplate / lm_logloss):
+      * pairs are (id_a < id_b), cosine rounded to 6, threshold
+        applied BEFORE rounding; threshold <= 0 is rejected (every
+        pair "matches" — the minhash/ngram convention).
+      * zero/non-finite vectors are dropped at normalization
+        (with_unit_norm), so NaN cosines are impossible by
+        construction.
+      * clusters larger than max_cluster raise (the cosine_near_dup
+        size-guard convention) — an oversized cluster means k is too
+        small for the corpus, and silently scanning it would be the
+        hidden O(n^2) this operator exists to avoid.
+      * output order UNSPECIFIED (consumers sort/join).
+
+    Scale shape: one equi-join on cell_id between two references of
+    the PERSISTED assignment (no re-clustering, no cartesian — the
+    join condition id_a < id_b prunes the diagonal), BLAS pandas-UDF
+    dots on the surviving pairs only. The assignment persist is
+    released after the pair set materializes; the returned pair set is
+    persisted — callers own unpersisting it."""
+    if threshold <= 0:
+        raise ValueError(
+            f"threshold must be > 0, got {threshold} (at <= 0 every "
+            f"pair is a near-duplicate)"
+        )
+    assigned = kmeans_assign_for(emb_unit, k, n_iter)
+    over = (
+        assigned.groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_cluster)
+        .limit(1)
+        .collect()
+    )
+    if over:
+        assigned.unpersist()
+        raise ValueError(
+            f"semantic_near_dup: cluster {over[0]['cell_id']} has "
+            f"{over[0]['n']} members > max_cluster={max_cluster}; "
+            f"raise k (more, smaller clusters) or use the LSH scale "
+            f"path (srp_signatures bucket join)."
+        )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("unit").alias("unit_a"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("unit").alias("unit_b"),
+        "cell_id",
+    )
+    # evaluate the pair dot ONCE: with the plain (deterministic) UDF,
+    # Catalyst inlines the `cosine` alias into the threshold Filter
+    # and the final AQE plan carries TWO ArrowEvalPython nodes for the
+    # same dot — every surviving pair scored twice (observed on this
+    # exact shape; the same Filter-over-Project duplication trap
+    # with_unit_norm documents). Marking the call nondeterministic is
+    # a white lie that forbids the inlining; the value is still pure.
+    _dot_once = _dot_pd.asNondeterministic()
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cell_id").alias("cluster_id"),
+            _dot_once(F.col("unit_a"), F.col("unit_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            "id_a", "id_b", "cluster_id", F.round("cosine", 6).alias("cosine")
+        )
+    )
+    result = pairs.persist()
+    result.count()
+    assigned.unpersist()
+    return result
