@@ -699,6 +699,172 @@ def scrub_boilerplate_for(docs: DataFrame, min_docs: int = 3) -> DataFrame:
     )
 
 
+def dup_spans(spark, sf_dir, k: int = 8, min_count: int = 2) -> DataFrame:
+    """Duplicate-substring spans over the documents table — see
+    dup_spans_for."""
+    return dup_spans_for(_docs(spark, sf_dir), k, min_count)
+
+
+def dup_spans_for(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """-> (doc_id, span_start, span_end, span_tokens): maximal runs of
+    k-token shingles that occur >= min_count times in the WHOLE corpus
+    — the span-level member of the dedup family (doc-level near-dup is
+    minhash/simhash/ngram; line-level is scrub_boilerplate; THIS is
+    the "deduplicating training data" substring pass: repeated
+    licenses, templated paragraphs, self-repeating generation loops).
+    Counting is by TOTAL occurrences, not distinct documents, so a
+    phrase repeated inside one document is a duplicate span too — the
+    within-doc self-repetition case scrub_boilerplate's distinct-doc
+    counting deliberately ignores.
+
+    Span positions are 0-based TOKEN indexes (the shared BPE_ISH
+    pre-tokenizer, original case — removal must reproduce original
+    tokens); a shingle starting at s covers [s, s+k-1], and
+    overlapping/adjacent covered intervals merge into one span.
+
+    Contracts (twin-checked byte-level vs DuckDB in
+    tests/test_dup_spans.py — the gate sits at its 50-entry cap, so
+    this op is pytest-twinned like decontaminate / scrub_boilerplate):
+      * NULL-text docs excluded; docs with < k tokens yield no spans.
+      * min_count < 2 is rejected (every shingle occurs >= 1 time —
+        the whole corpus would be one span).
+      * output order UNSPECIFIED (consumers sort/join).
+
+    Scale shape: one doc_id-partitioned window builds shingles (k-1
+    lead() exprs over ONE window spec — a single WindowExec pass; docs
+    are the natural partition, no global window), one shingle-keyed
+    count shuffle, a semi join of starts against the duplicate-shingle
+    set (Zipf head — AQE broadcasts it when small), then the classic
+    lag-based gaps-and-islands merge inside the same doc_id window
+    family. All corpus-linear; no cartesian, no corpus broadcast. At
+    10^12 turns the string shingle key could be xxhash64'd to shrink
+    the count shuffle — kept as the exact string here so the oracle
+    twin is engine-portable."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2, got {min_count} (every shingle "
+            f"occurs at least once — the corpus would be one big span)"
+        )
+    tok = _tokens_indexed(docs)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
+    sh = tok.select(
+        "doc_id",
+        F.col("i").alias("s"),
+        F.concat_ws(" ", *parts).alias("shingle"),
+        # lead(k-1) NULL => fewer than k tokens remain at this start
+        (parts[-1].isNotNull()).alias("_full"),
+    ).where(F.col("_full"))
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("shingle")
+    )
+    starts = sh.join(dup, "shingle", "left_semi").select("doc_id", "s")
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    islands = starts.select(
+        "doc_id",
+        "s",
+        F.sum(
+            F.when(
+                F.col("s") > F.lag("s").over(ws) + k, F.lit(1)
+            ).otherwise(
+                F.when(F.lag("s").over(ws).isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+        )
+        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("s").cast("int").alias("span_start"),
+        (F.max("s") + k - 1).cast("int").alias("span_end"),
+        (F.max("s") - F.min("s") + k).cast("int").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+def _tokens_indexed(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, t): original-case BPE_ISH tokens with 0-based
+    positions — shared by dup_spans_for and remove_dup_spans_for so
+    both sides of the span join tokenize identically."""
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0))
+        ).alias("i", "t"),
+    )
+
+
+def remove_dup_spans(
+    spark, sf_dir, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Duplicate-substring removal over the documents table — see
+    remove_dup_spans_for."""
+    return remove_dup_spans_for(_docs(spark, sf_dir), k, min_count)
+
+
+def remove_dup_spans_for(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """-> (doc_id, n_tokens, dup_tokens, kept_text): drop every token
+    covered by a duplicate span (see dup_spans_for) and reassemble the
+    survivors in order. Reconstruction joins tokens with single
+    spaces — token-stream-exact, whitespace-NORMALIZED (the C4-style
+    tradeoff; char-exact cutting would need per-match offsets, which
+    is an interpreted per-row loop in Spark — the token stream is the
+    honest JVM-native surface). Docs whose every token is covered stay
+    in the output as (n, n, ''); NULL-text docs are excluded.
+
+    Scale shape: dup_spans_for's plan, plus one doc_id-keyed
+    equi-anti-join with the [span_start, span_end] range predicate as
+    its residual condition and one doc_id shuffle for the ordered
+    reassembly (the assemble W1 sort_array idiom)."""
+    tok = _tokens_indexed(docs)
+    spans = dup_spans_for(docs, k, min_count)
+    cond = (
+        (tok["doc_id"] == spans["doc_id"])
+        & (tok["i"] >= spans["span_start"])
+        & (tok["i"] <= spans["span_end"])
+    )
+    kept = tok.join(spans, cond, "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "t"))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("int")
+            .alias("n_tokens"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.coalesce(F.col("_kept"), F.lit(0))
+            )
+            .cast("int")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 # per-token surprise values are quantized to integer MICRO-BITS before
 # the per-doc aggregation: sums of doubles are partition-order-
 # dependent on a cluster (and differ run to run), so a float sum can
