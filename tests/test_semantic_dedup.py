@@ -215,3 +215,17 @@ def test_semantic_near_dup_plan(spark):
 
     evals = set(re.findall(r"ArrowEvalPython \[_dot_pd\(unit_a[^\n]*?\[(pythonUDF\d+#\d+)\]", p))
     assert len(evals) == 1, evals
+
+
+def test_dot_pd_udf_not_mutated_by_eval_once_variant(spark):
+    """asNondeterministic() mutates the UDF object it is called on
+    (shared `_unwrapped`), so the eval-once variant must be a SEPARATE
+    instance — the shared _dot_pd staying deterministic is what keeps
+    every other scoring plan stable regardless of whether semantic
+    dedup ran earlier in the session. This test runs AFTER the plan
+    test exercised the operator, so it checks the post-use state."""
+    from v2_ocr_spark.operators.similarity import _dot_pd, _dot_pd_once
+
+    assert _dot_pd.deterministic is True
+    assert _dot_pd_once.deterministic is False
+    assert _dot_pd._unwrapped is not _dot_pd_once._unwrapped

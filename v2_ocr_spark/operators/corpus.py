@@ -734,14 +734,26 @@ def dup_spans_for(
 
     Scale shape: one doc_id-partitioned window builds shingles (k-1
     lead() exprs over ONE window spec — a single WindowExec pass; docs
-    are the natural partition, no global window), one shingle-keyed
-    count shuffle, a semi join of starts against the duplicate-shingle
-    set (Zipf head — AQE broadcasts it when small), then the classic
-    lag-based gaps-and-islands merge inside the same doc_id window
-    family. All corpus-linear; no cartesian, no corpus broadcast. At
-    10^12 turns the string shingle key could be xxhash64'd to shrink
-    the count shuffle — kept as the exact string here so the oracle
-    twin is engine-portable."""
+    are the natural partition, no global window), then ONE
+    shingle-partitioned count window finds the duplicate starts — a
+    groupBy-count + semi-join formulation evaluates the whole shingle
+    subtree TWICE (the agg branch partial-aggregates before its
+    exchange, so the exchanges aren't canonical-identical and
+    ReuseExchange can't share them — the CLAUDE.md token_pack
+    split-subtree trap), while the count window shuffles the same raw
+    start rows the semi join would and reads the shingle pass once.
+    Then the classic lag-based gaps-and-islands merge inside the
+    doc_id window family. All corpus-linear; no cartesian, no corpus
+    broadcast. At 10^12 turns the string shingle key could be
+    xxhash64'd to shrink the count shuffle — kept as the exact string
+    here so the oracle twin is engine-portable."""
+    return _dup_spans_from(_tokens_indexed(docs), k, min_count)
+
+
+def _dup_spans_from(tok: DataFrame, k: int, min_count: int) -> DataFrame:
+    """dup_spans_for over an existing (doc_id, i, t) token table —
+    shared with remove_dup_spans_for so the span chain reuses the
+    caller's tokenization."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:
@@ -749,7 +761,6 @@ def dup_spans_for(
             f"min_count must be >= 2, got {min_count} (every shingle "
             f"occurs at least once — the corpus would be one big span)"
         )
-    tok = _tokens_indexed(docs)
     w = Window.partitionBy("doc_id").orderBy("i")
     parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
     sh = tok.select(
@@ -759,13 +770,13 @@ def dup_spans_for(
         # lead(k-1) NULL => fewer than k tokens remain at this start
         (parts[-1].isNotNull()).alias("_full"),
     ).where(F.col("_full"))
-    dup = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("shingle")
+    starts = (
+        sh.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("_c") >= min_count)
+        .select("doc_id", "s")
     )
-    starts = sh.join(dup, "shingle", "left_semi").select("doc_id", "s")
     ws = Window.partitionBy("doc_id").orderBy("s")
     islands = starts.select(
         "doc_id",
@@ -821,18 +832,38 @@ def remove_dup_spans_for(
     honest JVM-native surface). Docs whose every token is covered stay
     in the output as (n, n, ''); NULL-text docs are excluded.
 
-    Scale shape: dup_spans_for's plan, plus one doc_id-keyed
-    equi-anti-join with the [span_start, span_end] range predicate as
-    its residual condition and one doc_id shuffle for the ordered
-    reassembly (the assemble W1 sort_array idiom)."""
+    Scale shape: the span chain reuses this function's token table
+    (_dup_spans_from), so the plan is: tokenize evaluated twice (the
+    anti-join probe side and the shingle chain — unavoidable without
+    an eager persist this lazy operator shouldn't own), the k-lead
+    shingle WindowExec ONCE, one doc_id-keyed equi-anti-join with the
+    [span_start, span_end] range predicate as its residual condition,
+    and one doc_id shuffle for the ordered reassembly (the assemble W1
+    sort_array idiom). Totals come from kept-count + the tiny span
+    rollup (spans never overlap after the island merge, so covered
+    tokens == sum(span_tokens) exactly) — NOT from a third tokenize
+    pass over the corpus. The merged-span table is
+    localCheckpoint(eager)ed: it is referenced by BOTH the anti-join
+    and the rollup, and without the cut each reference would re-run
+    the whole shingle chain (the non-canonical-exchange trap the
+    dup_spans_for docstring describes); the table itself is small —
+    merged spans only — so the eager materialization at call time is
+    the bounded cost."""
     tok = _tokens_indexed(docs)
-    spans = dup_spans_for(docs, k, min_count)
-    cond = (
-        (tok["doc_id"] == spans["doc_id"])
-        & (tok["i"] >= spans["span_start"])
-        & (tok["i"] <= spans["span_end"])
+    spans = _dup_spans_from(tok, k, min_count).localCheckpoint(eager=True)
+    # the checkpoint PRESERVES output attribute ids, so spans.doc_id
+    # is the same attribute as tok.doc_id — join on the raw columns
+    # and Spark builds a trivially-true doc_id == doc_id predicate.
+    # Rename the span side to force distinct attributes.
+    span_j = spans.select(
+        F.col("doc_id").alias("_sdoc"), "span_start", "span_end"
     )
-    kept = tok.join(spans, cond, "left_anti")
+    cond = (
+        (tok["doc_id"] == span_j["_sdoc"])
+        & (tok["i"] >= span_j["span_start"])
+        & (tok["i"] <= span_j["span_end"])
+    )
+    kept = tok.join(span_j, cond, "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("_kept"),
         F.array_join(
@@ -843,23 +874,25 @@ def remove_dup_spans_for(
             " ",
         ).alias("kept_text"),
     )
-    totals = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    dup_tok = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("_dup")
+    )
     return (
         docs.where(F.col("text").isNotNull())
         .select("doc_id")
-        .join(totals, "doc_id", "left")
         .join(agg, "doc_id", "left")
+        .join(dup_tok, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_tokens"), F.lit(0))
-            .cast("int")
-            .alias("n_tokens"),
             (
-                F.coalesce(F.col("n_tokens"), F.lit(0))
-                - F.coalesce(F.col("_kept"), F.lit(0))
+                F.coalesce(F.col("_kept"), F.lit(0))
+                + F.coalesce(F.col("_dup"), F.lit(0))
             )
             .cast("int")
-            .alias("dup_tokens"),
+            .alias("n_tokens"),
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("int").alias(
+                "dup_tokens"
+            ),
             F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
         )
     )

@@ -100,6 +100,23 @@ def _unit_pd(a):
     return pd.Series(out, index=a.index)
 
 
+# eval-ONCE variant of _dot_pd for alias-then-filter call sites: with
+# the plain deterministic UDF, Catalyst inlines the alias into the
+# threshold Filter and the final AQE plan carries TWO ArrowEvalPython
+# nodes for the same dot — every surviving row scored twice (the
+# Filter-over-Project duplication trap with_unit_norm documents;
+# observed live on semantic_near_dup_pairs). Marking it
+# nondeterministic is a white lie that forbids the inlining; the value
+# is still pure. This MUST be a SEPARATE UDF instance built from the
+# raw function: asNondeterministic() mutates the UserDefinedFunction
+# it is called on (the wrapper shares `_unwrapped`), so calling it on
+# _dot_pd itself would permanently flip the shared deterministic UDF
+# for every other operator in the process and make plans
+# call-order-dependent (review-pass finding, pinned in
+# tests/test_semantic_dedup.py).
+_dot_pd_once = pandas_udf(_dot_pd.func, DoubleType()).asNondeterministic()
+
+
 def with_unit_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Pre-normalize once so cosine becomes a plain dot product.
     Zero, NULL, and NON-FINITE vectors are directionless/corrupt and
@@ -541,20 +558,25 @@ def kmeans_assign_for(
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     emb = emb_unit.select("vec_id", "unit").persist()
-    emb.count()
-    cents = (
-        _centroids(emb, k)
-        .withColumn("c2", _dot_pd(F.col("centroid"), F.col("centroid")))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(n_iter):
-        cents = _mean_centroids(_assign_euclid(emb, cents)).localCheckpoint(
-            eager=True
+    try:
+        emb.count()
+        cents = (
+            _centroids(emb, k)
+            .withColumn("c2", _dot_pd(F.col("centroid"), F.col("centroid")))
+            .localCheckpoint(eager=True)
         )
-    result = _assign_euclid(emb, cents).persist()
-    result.count()
-    emb.unpersist()
-    return result
+        for _ in range(n_iter):
+            cents = _mean_centroids(
+                _assign_euclid(emb, cents)
+            ).localCheckpoint(eager=True)
+        result = _assign_euclid(emb, cents).persist()
+        result.count()
+        return result
+    finally:
+        # also on failure mid-loop — a corpus-scale persist must never
+        # outlive the call without an owner (the compose cleanup
+        # convention)
+        emb.unpersist()
 
 
 def kmeans_clusters(
@@ -571,12 +593,14 @@ def kmeans_clusters(
         k,
         n_iter,
     )
-    out = assigned.select(
-        "vec_id", F.col("cell_id").alias("cluster_id")
-    ).persist()
-    out.count()
-    assigned.unpersist()
-    return out
+    try:
+        out = assigned.select(
+            "vec_id", F.col("cell_id").alias("cluster_id")
+        ).persist()
+        out.count()
+        return out
+    finally:
+        assigned.unpersist()
 
 
 def semantic_near_dup_pairs(
@@ -637,6 +661,17 @@ def semantic_near_dup_pairs_for(
             f"pair is a near-duplicate)"
         )
     assigned = kmeans_assign_for(emb_unit, k, n_iter)
+    try:
+        return _cluster_pairs(assigned, threshold, max_cluster)
+    finally:
+        # also on failure (guard collect, pair materialization) — the
+        # corpus-scale assignment persist must never outlive the call
+        assigned.unpersist()
+
+
+def _cluster_pairs(
+    assigned: DataFrame, threshold: float, max_cluster: int
+) -> DataFrame:
     over = (
         assigned.groupBy("cell_id")
         .agg(F.count("*").alias("n"))
@@ -645,7 +680,6 @@ def semantic_near_dup_pairs_for(
         .collect()
     )
     if over:
-        assigned.unpersist()
         raise ValueError(
             f"semantic_near_dup: cluster {over[0]['cell_id']} has "
             f"{over[0]['n']} members > max_cluster={max_cluster}; "
@@ -662,14 +696,6 @@ def semantic_near_dup_pairs_for(
         F.col("unit").alias("unit_b"),
         "cell_id",
     )
-    # evaluate the pair dot ONCE: with the plain (deterministic) UDF,
-    # Catalyst inlines the `cosine` alias into the threshold Filter
-    # and the final AQE plan carries TWO ArrowEvalPython nodes for the
-    # same dot — every surviving pair scored twice (observed on this
-    # exact shape; the same Filter-over-Project duplication trap
-    # with_unit_norm documents). Marking the call nondeterministic is
-    # a white lie that forbids the inlining; the value is still pure.
-    _dot_once = _dot_pd.asNondeterministic()
     pairs = (
         a.join(b, "cell_id")
         .where(F.col("id_a") < F.col("id_b"))
@@ -677,7 +703,7 @@ def semantic_near_dup_pairs_for(
             "id_a",
             "id_b",
             F.col("cell_id").alias("cluster_id"),
-            _dot_once(F.col("unit_a"), F.col("unit_b")).alias("cosine"),
+            _dot_pd_once(F.col("unit_a"), F.col("unit_b")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .select(
@@ -686,5 +712,4 @@ def semantic_near_dup_pairs_for(
     )
     result = pairs.persist()
     result.count()
-    assigned.unpersist()
     return result
