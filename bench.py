@@ -130,6 +130,26 @@ def main() -> None:
     timed("token_counts",
           lambda: textstats.token_counts(spark, SF_DIR)
           .agg(F.sum("bpe_tokens")).collect())
+    timed("lm_logloss",
+          lambda: corpus.lm_logloss(spark, SF_DIR)
+          .agg(F.sum("n_tokens"), F.max("bits_per_token")).collect())
+    timed("dup_span_removal",
+          lambda: corpus.remove_dup_spans(spark, SF_DIR)
+          .agg(F.sum("dup_tokens"), F.sum(F.length("kept_text")))
+          .collect())
+    timed("scrub_boilerplate",
+          lambda: corpus.scrub_boilerplate(spark, SF_DIR)
+          .agg(F.sum("kept_lines")).collect())
+
+    def _semantic():
+        # returns a persisted pair set (caller-owns-release contract)
+        pairs = similarity.semantic_near_dup_pairs(
+            spark, SF_DIR, k=32, n_iter=3, threshold=0.4
+        )
+        pairs.count()
+        pairs.unpersist()
+
+    timed("semantic_near_dup", _semantic)
     timed(
         "fulltext_search",
         lambda: transcripts.where(F.lower(F.col("text")).contains("fox")).count(),
