@@ -120,6 +120,74 @@ def main() -> None:
             "strictly worse 3-exchange plan)",
             relational.distinct_kmv(spark, "/root/testdata/sf0.001"),
         ),
+        (
+            "dup_spans — duplicate-substring spans (r5)",
+            "ONE k-lead shingle WindowExec (doc_id-partitioned), ONE "
+            "shingle-partitioned count window for duplicate starts (a "
+            "groupBy+semi-join formulation evaluates the shingle "
+            "subtree twice — non-canonical exchanges, no "
+            "ReuseExchange), then the lag gaps-and-islands merge back "
+            "in the doc_id window family; no cartesian, no Python",
+            __import__(
+                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
+            ).dup_spans(spark, "/root/testdata/sf0.001"),
+        ),
+        (
+            "lm_logloss — unigram-LM perplexity filter (r5)",
+            "per-token surprise quantized to int64 micro-bits so the "
+            "per-doc sum is exact integer arithmetic (order-"
+            "independent, oracle-exact); model scalars (N, V) enter "
+            "as a broadcast one-row join (BroadcastNestedLoopJoin of "
+            "1 row, no collect); token join is a plain equi-join AQE "
+            "can broadcast when the vocab is small",
+            __import__(
+                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
+            ).lm_logloss(spark, "/root/testdata/sf0.001"),
+        ),
+        (
+            "scrub_boilerplate — inter-document boilerplate lines (r5)",
+            "the Zipf-head DROP set broadcasts into a left-anti join "
+            "(never the corpus-scale keep side — the dedup bucket-set "
+            "inversion); one doc_id shuffle for the ordered "
+            "sort_array reassembly",
+            __import__(
+                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
+            ).scrub_boilerplate(spark, "/root/testdata/sf0.001"),
+        ),
+        (
+            "kmeans assignment step — the SemDeDup iteration core (r5)",
+            "k-row centroid table broadcast (BroadcastNestedLoopJoin); "
+            "argmax as partial_max_by — the corpus x k scored rows "
+            "collapse to ONE row per vector at the map side, so the "
+            "per-iteration shuffle is corpus-size (a window "
+            "formulation would shuffle all k candidates per vector)",
+            (lambda S: S._assign_euclid(
+                S.with_unit_norm(
+                    spark.read.parquet(
+                        "/root/testdata/sf0.001/embeddings.parquet"
+                    )
+                ).select("vec_id", "unit"),
+                S._centroids(
+                    S.with_unit_norm(
+                        spark.read.parquet(
+                            "/root/testdata/sf0.001/embeddings.parquet"
+                        )
+                    ).select("vec_id", "unit"),
+                    16,
+                ).withColumn(
+                    "c2",
+                    S._dot_pd(
+                        __import__("pyspark.sql.functions",
+                                   fromlist=["F"]).col("centroid"),
+                        __import__("pyspark.sql.functions",
+                                   fromlist=["F"]).col("centroid"),
+                    ),
+                ),
+            ))(__import__(
+                "v2_ocr_spark.operators.similarity",
+                fromlist=["similarity"],
+            )),
+        ),
     ]
 
     out = io.StringIO()
