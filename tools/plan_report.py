@@ -17,10 +17,12 @@ def fmt_plan(df) -> str:
 
 
 def main() -> None:
+    import pyspark.sql.functions as F
+
     from v2_ocr_spark.session import get_spark
     from v2_ocr_spark.operators.extract import extract_turns
     from v2_ocr_spark.operators.assemble import assemble
-    from v2_ocr_spark.operators import dedup, relational
+    from v2_ocr_spark.operators import corpus, dedup, relational, similarity
     from v2_ocr_spark.operators.dom import (
         classify_nodes, flatten_dom, reassemble_content,
     )
@@ -29,6 +31,9 @@ def main() -> None:
     spark = get_spark(master="local[8]")
     d = e._data_dir("/root/testdata/sf0.001")
     t = spark.read.parquet(f"{d}/transcripts.parquet")
+    emb_unit = similarity.with_unit_norm(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ).select("vec_id", "unit")
 
     sections = [
         (
@@ -89,9 +94,7 @@ def main() -> None:
             "exchange), so the BPE regexp_count projection is scanned "
             "ONCE — the totals aggregate references the window output "
             "precisely to keep both branches on one subtree",
-            __import__(
-                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
-            ).token_pack_for(
+            corpus.token_pack_for(
                 spark.read.parquet(
                     "/root/testdata/sf0.001/documents.parquet"
                 ),
@@ -106,9 +109,7 @@ def main() -> None:
             "vocabulary_topk — corpus token frequencies",
             "partial_count before the exchange (map-side combine), "
             "distributed TakeOrderedAndProject — no global sort",
-            __import__(
-                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
-            ).vocabulary_topk(spark, "/root/testdata/sf0.001"),
+            corpus.vocabulary_topk(spark, "/root/testdata/sf0.001"),
         ),
         (
             "distinct_kmv — deterministic bottom-k distinct sketch",
@@ -128,9 +129,7 @@ def main() -> None:
             "subtree twice — non-canonical exchanges, no "
             "ReuseExchange), then the lag gaps-and-islands merge back "
             "in the doc_id window family; no cartesian, no Python",
-            __import__(
-                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
-            ).dup_spans(spark, "/root/testdata/sf0.001"),
+            corpus.dup_spans(spark, "/root/testdata/sf0.001"),
         ),
         (
             "lm_logloss — unigram-LM perplexity filter (r5)",
@@ -140,9 +139,7 @@ def main() -> None:
             "as a broadcast one-row join (BroadcastNestedLoopJoin of "
             "1 row, no collect); token join is a plain equi-join AQE "
             "can broadcast when the vocab is small",
-            __import__(
-                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
-            ).lm_logloss(spark, "/root/testdata/sf0.001"),
+            corpus.lm_logloss(spark, "/root/testdata/sf0.001"),
         ),
         (
             "scrub_boilerplate — inter-document boilerplate lines (r5)",
@@ -150,9 +147,7 @@ def main() -> None:
             "(never the corpus-scale keep side — the dedup bucket-set "
             "inversion); one doc_id shuffle for the ordered "
             "sort_array reassembly",
-            __import__(
-                "v2_ocr_spark.operators.corpus", fromlist=["corpus"]
-            ).scrub_boilerplate(spark, "/root/testdata/sf0.001"),
+            corpus.scrub_boilerplate(spark, "/root/testdata/sf0.001"),
         ),
         (
             "kmeans assignment step — the SemDeDup iteration core (r5)",
@@ -161,32 +156,15 @@ def main() -> None:
             "collapse to ONE row per vector at the map side, so the "
             "per-iteration shuffle is corpus-size (a window "
             "formulation would shuffle all k candidates per vector)",
-            (lambda S: S._assign_euclid(
-                S.with_unit_norm(
-                    spark.read.parquet(
-                        "/root/testdata/sf0.001/embeddings.parquet"
-                    )
-                ).select("vec_id", "unit"),
-                S._centroids(
-                    S.with_unit_norm(
-                        spark.read.parquet(
-                            "/root/testdata/sf0.001/embeddings.parquet"
-                        )
-                    ).select("vec_id", "unit"),
-                    16,
-                ).withColumn(
+            similarity._assign_euclid(
+                emb_unit,
+                similarity._centroids(emb_unit, 16).withColumn(
                     "c2",
-                    S._dot_pd(
-                        __import__("pyspark.sql.functions",
-                                   fromlist=["F"]).col("centroid"),
-                        __import__("pyspark.sql.functions",
-                                   fromlist=["F"]).col("centroid"),
+                    similarity._dot_pd(
+                        F.col("centroid"), F.col("centroid")
                     ),
                 ),
-            ))(__import__(
-                "v2_ocr_spark.operators.similarity",
-                fromlist=["similarity"],
-            )),
+            ),
         ),
     ]
 

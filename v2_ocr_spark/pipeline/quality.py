@@ -15,7 +15,7 @@ the already-twinned operators (COVERAGE.md), written as parquet with
 one summary.json, the compose-module discipline. Each input operator
 keeps its own contracts (NULL-text docs are excluded by all three, so
 the joins are inner-equivalent but written as left joins from the
-LM surface, which covers every text-bearing doc).
+span surface, which covers every text-bearing doc).
 
 Scale notes: lm_logloss is two token shuffles + an equi-join;
 remove_dup_spans is the single-pass shingle window chain;
@@ -59,10 +59,20 @@ def corpus_quality_report(
         scrub_boilerplate,
     )
 
-    lm = lm_logloss(spark, sf_dir, ref_source)
+    # the ledger's n_tokens is the SPAN-side count (original-case
+    # tokens — the same stream dup_tokens counts over), so every row
+    # is internally derivable: dup_token_frac == dup_tokens/n_tokens.
+    # lm_logloss tokenizes lower(text); its per-token stats
+    # (bits_per_token, oov_frac) are carried as-is and documented as
+    # computed over the lowercased stream — case-fold-expanding
+    # Unicode can make the two counts differ, and mixing them in one
+    # fraction would let dup_tokens exceed the row's own denominator.
+    lm = lm_logloss(spark, sf_dir, ref_source).select(
+        "doc_id", "bits_per_token", "oov_frac"
+    )
     spans = remove_dup_spans(spark, sf_dir, span_k, span_min_count).select(
         "doc_id",
-        F.col("n_tokens").alias("_span_n"),
+        "n_tokens",
         "dup_tokens",
     )
     boiler = scrub_boilerplate(spark, sf_dir, boiler_min_docs).select(
@@ -72,18 +82,18 @@ def corpus_quality_report(
     )
 
     report = (
-        lm.join(spans, "doc_id", "left")
+        spans.join(lm, "doc_id", "left")
         .join(boiler, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
             "bits_per_token",
             "oov_frac",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            "dup_tokens",
             F.round(
                 F.when(
-                    F.col("_span_n") > 0,
-                    F.col("dup_tokens") / F.col("_span_n"),
+                    F.col("n_tokens") > 0,
+                    F.col("dup_tokens") / F.col("n_tokens"),
                 ),
                 6,
             ).alias("dup_token_frac"),
@@ -101,6 +111,13 @@ def corpus_quality_report(
         )
     )
     out_table = os.path.join(out_dir, "doc_quality")
+    summary_path = os.path.join(out_dir, "summary.json")
+    # re-run discipline: drop the STALE summary before overwriting the
+    # table — a crash between the two writes must never leave an old
+    # summary (old params/stats) pointing at a new table; the new
+    # summary lands atomically below (tmp + rename)
+    if os.path.exists(summary_path):
+        os.remove(summary_path)
     report.write.mode("overwrite").parquet(out_table)
 
     written = spark.read.parquet(out_table)
@@ -122,8 +139,10 @@ def corpus_quality_report(
         },
         **{k: _jsonable(v) for k, v in agg.asDict().items()},
     }
-    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+    tmp = summary_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
+    os.replace(tmp, summary_path)
     return summary
 
 
