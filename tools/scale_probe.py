@@ -14,6 +14,11 @@ runs the production paths end to end:
     one cluster)
   * srp_lsh_topk on 40k vectors (BLAS signature pass, bucket
     equi-join, exact re-rank)
+  * semantic_near_dup_pairs on 40k vectors (Lloyd k-means + within-
+    cluster exact scan): identical replica vectors MUST co-cluster
+    (same deterministic argmax), so every replica group's C(REPL,2)
+    cosine-1.0 pairs must be found — recall of the within-cluster
+    strategy is total on exact duplicates by construction
 
 Prints one JSON line; results are recorded in BASELINE.md. This is a
 probe, not a per-round bench — run it manually after touching the
@@ -96,6 +101,29 @@ def main() -> None:
     n_topk = topk.count()
     t_ann = time.perf_counter() - t0
 
+    # ---- semantic dedup stress: identical replicas must co-cluster ----
+    # surviving originals (with_unit_norm drops zero/non-finite vectors
+    # before clustering — count the units, not the raw table)
+    n_units = (
+        similarity.with_unit_norm(
+            spark.read.parquet(f"{WORK}/embeddings.parquet")
+        ).count()
+        // REPL
+    )
+    t0 = time.perf_counter()
+    sem = similarity.semantic_near_dup_pairs(
+        spark, WORK, k=64, n_iter=2, threshold=0.999
+    )
+    n_sem = sem.count()
+    # every replica group is identical vectors -> same deterministic
+    # argmax cell -> all C(REPL,2) pairs at cosine 1.0 are in-cluster.
+    # Recall on exact duplicates is therefore total BY CONSTRUCTION,
+    # and with isotropic originals (max distinct-pair cosine ~0.48)
+    # no other pair clears 0.999 — the count should match exactly.
+    sem_expected = n_units * REPL * (REPL - 1) // 2
+    t_sem = time.perf_counter() - t0
+    sem.unpersist()
+
     print(json.dumps({
         "metric": "scale_probe",
         "replication": REPL,
@@ -112,12 +140,18 @@ def main() -> None:
         "n_vectors": n_emb * REPL,
         "ann_rows": n_topk,
         "ann_sec": round(t_ann, 1),
+        "semantic_pairs": n_sem,
+        "semantic_pairs_expected": sem_expected,
+        "semantic_recall_total": n_sem >= sem_expected,
+        "semantic_exact": n_sem == sem_expected,
+        "semantic_sec": round(t_sem, 1),
     }))
     # assert the invariants, not just report them — a regression must
     # fail the probe's exit code, not only flip a JSON field
     assert n_pairs >= expected_min, (n_pairs, expected_min)
     assert groups_split == 0, groups_split
     assert n_topk == 50, n_topk
+    assert n_sem >= sem_expected, (n_sem, sem_expected)
     spark.stop()
 
 
