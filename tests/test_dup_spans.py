@@ -173,6 +173,81 @@ def test_remove_dup_spans_planted(spark, planted):
         0, 0, "")
 
 
+def _py_dup_spans(docs: dict[int, list[str]], k: int, min_count: int):
+    """Direct pure-Python implementation of the dup_spans spec:
+    total-occurrence shingle counts, covered intervals [s, s+k-1],
+    adjacency-merge (new span when s > prev + k)."""
+    from collections import Counter
+
+    counts = Counter(
+        tuple(t[i:i + k])
+        for t in docs.values()
+        for i in range(len(t) - k + 1)
+    )
+    out = []
+    for d, t in docs.items():
+        starts = [
+            i
+            for i in range(len(t) - k + 1)
+            if counts[tuple(t[i:i + k])] >= min_count
+        ]
+        span = None
+        for s in starts:
+            # merge while the new interval [s, s+k-1] overlaps or is
+            # adjacent to the covered range (s <= end + 1); since end
+            # is always last_start + k - 1, this is the operator's
+            # lag rule s > prev_start + k
+            if span is None or s > span[1] + 1:
+                if span:
+                    out.append((d, span[0], span[1], span[1] - span[0] + 1))
+                span = [s, s + k - 1]
+            else:
+                span[1] = s + k - 1
+        if span:
+            out.append((d, span[0], span[1], span[1] - span[0] + 1))
+    return sorted(out)
+
+
+def test_dup_spans_randomized_differential(spark):
+    """25 seeded random corpora, each with a DISJOINT pure-letter token
+    alphabet, unioned into ONE documents table: cross-corpus shingles
+    can never collide, so the single Spark run must equal 25
+    independent pure-Python runs of the spec. Small alphabets force
+    heavy duplication — within-doc repeats, overlapping and adjacent
+    spans, full-doc coverage — the regimes the planted tests sample
+    only pointwise."""
+    import random
+
+    rng = random.Random(42)
+    all_docs: dict[int, list[str]] = {}
+    corpora: list[dict[int, list[str]]] = []
+    for ci in range(25):
+        prefix = chr(ord("a") + ci % 26) + chr(ord("a") + ci // 26)
+        alphabet = [prefix + s for s in ("aa", "bb", "cc", "dd", "ee")]
+        corpus = {}
+        for d in range(8):
+            n = rng.randint(0, 14)
+            corpus[ci * 1000 + d] = [rng.choice(alphabet) for _ in range(n)]
+        corpora.append(corpus)
+        all_docs.update(corpus)
+
+    k, min_count = 3, 2
+    df = spark.createDataFrame(
+        [(d, " ".join(t) if t else "") for d, t in all_docs.items()],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dup_spans_for(df, k=k, min_count=min_count).collect()
+    )
+    exp = sorted(
+        row for c in corpora for row in _py_dup_spans(c, k, min_count)
+    )
+    assert got == exp
+    # the random regime actually exercised duplication
+    assert len(exp) > 50
+
+
 def test_dup_spans_guards(spark, planted):
     with pytest.raises(ValueError, match="min_count"):
         dup_spans_for(planted, k=3, min_count=1)
