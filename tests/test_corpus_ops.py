@@ -301,3 +301,63 @@ def test_scrub_boilerplate_plan(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     # ordered reassembly is the collect_list ObjectHashAggregate
     assert "ObjectHashAggregate" in p
+
+
+def test_scrub_boilerplate_randomized_differential(spark):
+    """20 seeded random corpora with mostly-disjoint line alphabets
+    unioned into one documents table, compared against a pure-Python
+    run of the spec over the SAME union (the '' line is shared across
+    corpora by construction — an early version computed expectations
+    per corpus and this very test caught the cross-corpus ''
+    collision) — within-doc repeated lines (count once toward
+    doc_freq, all occurrences scrubbed), fully-scrubbed docs,
+    ''-only docs, per-doc unique survivors."""
+    import random
+
+    rng = random.Random(7)
+    all_docs: dict[int, str | None] = {}
+    for ci in range(20):
+        prefix = chr(ord("a") + ci % 26) + chr(ord("a") + ci // 26)
+        lines = [prefix + s for s in ("xx", "yy", "zz")] + [""]
+        corpus: dict[int, str | None] = {}
+        for d in range(7):
+            did = ci * 1000 + d
+            if d == 6:
+                corpus[did] = None  # NULL-text doc: excluded
+            else:
+                n = rng.randint(0, 6)
+                picked = [rng.choice(lines) for _ in range(n)]
+                if d % 2 == 0:
+                    # per-doc unique line: survives every scrub, so
+                    # the intact-doc and partial-scrub regimes occur
+                    picked.append(f"{prefix}unique{d}")
+                corpus[did] = "\n".join(picked)
+        all_docs.update(corpus)
+
+    min_docs = 2
+
+    def py_scrub(corpus):
+        texts = {d: t for d, t in corpus.items() if t is not None}
+        freq: dict[str, set] = {}
+        for d, t in texts.items():
+            for line in t.split("\n"):
+                freq.setdefault(line, set()).add(d)
+        boiler = {l for l, ds in freq.items() if len(ds) >= min_docs}
+        out = []
+        for d, t in texts.items():
+            ls = t.split("\n")
+            kept = [l for l in ls if l not in boiler]
+            out.append((d, len(ls), len(kept), "\n".join(kept)))
+        return out
+
+    df = spark.createDataFrame(
+        list(all_docs.items()), "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.n_lines, r.kept_lines, r.scrubbed_text)
+        for r in scrub_boilerplate_for(df, min_docs=min_docs).collect()
+    )
+    exp = sorted(py_scrub(all_docs))
+    assert got == exp
+    # the regime is non-trivial: some lines scrubbed, some docs intact
+    assert any(r[2] < r[1] for r in exp) and any(r[2] == r[1] for r in exp)

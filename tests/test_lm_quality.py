@@ -14,6 +14,7 @@ import math
 import duckdb
 import pytest
 
+from v2_ocr_spark.fixtures.oracle_expected import round6
 from v2_ocr_spark.operators.corpus import _MICRO, lm_logloss, lm_logloss_for
 
 SF = "/root/testdata/sf0.001"
@@ -116,7 +117,11 @@ def _expected_bits(tfs: dict[str, int], cnt: dict[str, int]) -> float:
         tf * (norm - q(math.log2(cnt.get(t, 0) + 1)))
         for t, tf in tfs.items()
     )
-    return round(micro / (sum(tfs.values()) * float(_MICRO)), 6)
+    # round6, not round(): Spark/DuckDB round the decimal string
+    # HALF_UP; Python's round() is binary half-even and diverges at
+    # 7th-digit midpoints (see oracle_expected.round6 — this very
+    # file's randomized differential found the first real one)
+    return round6(micro / (sum(tfs.values()) * float(_MICRO)))
 
 
 def test_lm_logloss_planted(spark):
@@ -184,3 +189,67 @@ def test_lm_logloss_plan(spark):
     assert "BroadcastNestedLoopJoin" in p
     # map-side partials on both count shuffles
     assert "partial_count" in p
+
+
+def test_lm_logloss_randomized_differential(spark):
+    """Seeded random corpus (two sources, repeated small vocabulary,
+    empty/whitespace/NULL docs) scored against a plain-loop pure-
+    Python run of the quantized spec, in both self-trained and
+    reference-trained modes — the regimes the planted tests sample
+    only pointwise."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "eta", "theta", "iota", "kappa", "mu", "nu"]
+    docs = []
+    for d in range(40):
+        src = "wiki" if d % 3 == 0 else "web"
+        if d % 10 == 9:
+            text = None
+        elif d % 10 == 8:
+            text = "   " if d % 20 == 8 else ""
+        else:
+            n = rng.randint(1, 12)
+            # wiki draws from half the vocabulary only, so the
+            # wiki-trained mode is guaranteed to see OOV on web docs
+            pool = vocab[:6] if src == "wiki" else vocab
+            text = " ".join(rng.choice(pool) for _ in range(n))
+        docs.append((d, text, src))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+
+    def py_lm(ref_source):
+        toks = {
+            d: (t or "").split() for d, t, _ in docs if t is not None
+        }
+        cnt: dict[str, int] = {}
+        for d, t, s in docs:
+            if t is None or (ref_source and s != ref_source):
+                continue
+            for tok in toks[d]:
+                cnt[tok] = cnt.get(tok, 0) + 1
+        out = {}
+        for d, t, _ in docs:
+            if t is None:
+                continue
+            tf: dict[str, int] = {}
+            for tok in toks[d]:
+                tf[tok] = tf.get(tok, 0) + 1
+            n = sum(tf.values())
+            if n == 0:
+                out[d] = (0, 0, None, None)
+                continue
+            oov = sum(v for k, v in tf.items() if k not in cnt)
+            bits = _expected_bits(tf, cnt)
+            out[d] = (n, oov, bits, round6(oov / n))
+        return out
+
+    for ref in (None, "wiki"):
+        got = {
+            r.doc_id: (r.n_tokens, r.oov_tokens, r.bits_per_token,
+                       r.oov_frac)
+            for r in lm_logloss_for(df, ref).collect()
+        }
+        assert got == py_lm(ref), f"ref_source={ref}"
+    # non-vacuous: the wiki-trained run sees OOV on web docs
+    assert any(v[1] > 0 for v in py_lm("wiki").values())

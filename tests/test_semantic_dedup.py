@@ -19,7 +19,7 @@ import duckdb
 import pyspark.sql.functions as F
 import pytest
 
-from v2_ocr_spark.fixtures.oracle_expected import _dot, unit_vectors
+from v2_ocr_spark.fixtures.oracle_expected import _dot, round6, unit_vectors
 from v2_ocr_spark.kernels.xxh import xxh64_long
 from v2_ocr_spark.operators.similarity import (
     _COORD_NANO,
@@ -49,10 +49,7 @@ def _q_nano(x: float) -> int:
     )
 
 
-def _round6(x: float) -> float:
-    return (
-        math.floor(abs(x) * 1_000_000 + 0.5) / 1_000_000
-    ) * (1 if x >= 0 else -1)
+
 
 
 def _py_kmeans(units: dict, k: int, n_iter: int) -> dict:
@@ -98,7 +95,7 @@ def _py_pairs(units: dict, final: dict, threshold: float) -> set:
                 continue
             cos = _dot(units[a], units[b])
             if cos >= threshold:
-                out.add((a, b, final[a], _round6(cos)))
+                out.add((a, b, final[a], round6(cos)))
     return out
 
 

@@ -140,6 +140,27 @@ def _dot(a: list[float], b: list[float]) -> float:
     return sum(x * y for x, y in zip(a, b))
 
 
+def round6(x: float) -> float:
+    """Round a double to 6 places the way BOTH engines do.
+
+    Spark's round() goes through BigDecimal.valueOf(double) — i.e. the
+    SHORTEST DECIMAL STRING of the double — then HALF_UP; DuckDB's
+    round(double, 6) agrees (verified on the exact midpoint
+    6882319/2000000.0 = '3.4411595': both yield 3.44116). Python's
+    built-in round() instead rounds the BINARY value half-even, so at
+    a decimal midpoint whose nearest double sits just below it
+    (3.4411595 → 3.441159...4999) it returns 3.441159 — off by one
+    ulp-of-the-6th-place from both engines. Any pure-Python twin that
+    mirrors a round-to-6 column MUST use this helper, not round() and
+    not floor(x*1e6+0.5) (which inherits the same binary-midpoint
+    skew). Found by the lm_logloss randomized differential test."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
 def srp_candidates(
     units: dict[int, list[float]],
     n_queries: int = 10,
