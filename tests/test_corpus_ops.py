@@ -91,7 +91,8 @@ def test_decontaminate_planted(spark):
     # doc 1 shares exactly 2 of its 6 5-gram shingles with the benchmark
     assert rows[1].contaminated
     assert rows[1].n_shingles == 6 and rows[1].bench_hits == 2
-    assert rows[1].hit_frac == round(2 / 6, 6)
+    from v2_ocr_spark.fixtures.oracle_expected import round6
+    assert rows[1].hit_frac == round6(2 / 6)
     assert not rows[2].contaminated and rows[2].bench_hits == 0
     # NULL-text doc: kept in the report with zero shingles, not flagged
     assert rows[3].n_shingles == 0 and not rows[3].contaminated

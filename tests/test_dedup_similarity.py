@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from v2_ocr_spark.fixtures.oracle_expected import round6
 from v2_ocr_spark.operators import dedup, multimodal, similarity
 
 SF = "/root/testdata/sf0.001"
@@ -679,7 +680,11 @@ def test_ngram_jaccard_equals_bruteforce_on_random_corpus(spark, tmp_path):
         sa, sb = shingles(ta), shingles(tb)
         j = len(sa & sb) / len(sa | sb)
         if j >= 0.5:
-            brute[(ia, ib)] = round(j, 6)
+            # round6, not round(): Spark/DuckDB round the shortest
+            # decimal string HALF_UP; Python round() diverges at
+            # exactly-representable midpoints like 1/128 = 0.0078125
+            # (see oracle_expected.round6)
+            brute[(ia, ib)] = round6(j)
 
     got = {
         (r.doc_a, r.doc_b): r.jaccard

@@ -12,6 +12,7 @@ import os
 
 import pyspark.sql.functions as F
 
+from v2_ocr_spark.fixtures.oracle_expected import round6
 from v2_ocr_spark.operators.corpus import (
     lm_logloss,
     remove_dup_spans,
@@ -53,7 +54,7 @@ def test_quality_report_end_to_end(spark, tmp_path):
         assert r.boiler_lines == bl[d].n_lines - bl[d].kept_lines
         # the fraction is derivable from the row's own columns
         if r.n_tokens > 0:
-            assert r.dup_token_frac == round(r.dup_tokens / r.n_tokens, 6)
+            assert r.dup_token_frac == round6(r.dup_tokens / r.n_tokens)
     # non-vacuous on the real corpus: dup spans exist (probed in
     # tests/test_dup_spans.py), boilerplate lines do not
     assert summary["total_dup_tokens"] > 0
