@@ -362,3 +362,64 @@ def test_scrub_boilerplate_randomized_differential(spark):
     assert got == exp
     # the regime is non-trivial: some lines scrubbed, some docs intact
     assert any(r[2] < r[1] for r in exp) and any(r[2] == r[1] for r in exp)
+
+
+def test_decontaminate_randomized_differential(spark):
+    """Seeded random training docs + benchmark from a shared small
+    alphabet, compared against an inline pure-Python run of the spec
+    (independent of _shingle_set): short docs (single truncated
+    shingle), '' docs ({''} singleton), NULL docs (kept, zero
+    shingles), benchmark NULLs, varying contamination levels."""
+    import random
+
+    from v2_ocr_spark.fixtures.oracle_expected import round6
+
+    rng = random.Random(99)
+    vocab = ["red", "blue", "green", "gold", "teal", "gray", "pink"]
+
+    def rand_text(max_n):
+        n = rng.randint(0, max_n)
+        return " ".join(rng.choice(vocab) for _ in range(n)) if n else ""
+
+    docs = [
+        (d, None if d % 11 == 10 else rand_text(9)) for d in range(40)
+    ]
+    bench = [(100 + b, None if b == 5 else rand_text(7)) for b in range(6)]
+    n = 3
+
+    def sh(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i:i + n])
+            for i in range(max(len(toks) - (n - 1), 1))
+        }
+
+    bench_sh = set().union(
+        *(sh(t) for _, t in bench if t is not None)
+    )
+    exp = {}
+    for d, t in docs:
+        if t is None:
+            exp[d] = (0, 0, 0.0, False)
+            continue
+        s = sh(t)
+        hits = len(s & bench_sh)
+        exp[d] = (
+            len(s),
+            hits,
+            round6(hits / len(s)) if s else 0.0,
+            hits >= 1,
+        )
+
+    got = {
+        r.doc_id: (r.n_shingles, r.bench_hits, r.hit_frac, r.contaminated)
+        for r in decontaminate_for(
+            spark.createDataFrame(docs, "doc_id bigint, text string"),
+            spark.createDataFrame(bench, "doc_id bigint, text string"),
+            shingle_n=n,
+        ).collect()
+    }
+    assert got == exp
+    # the regime is non-trivial: contaminated and clean docs coexist
+    vals = list(exp.values())
+    assert any(v[3] for v in vals) and any(not v[3] and v[0] for v in vals)
