@@ -746,7 +746,20 @@ def dup_spans_for(
     doc_id window family. All corpus-linear; no cartesian, no corpus
     broadcast. At 10^12 turns the string shingle key could be
     xxhash64'd to shrink the count shuffle — kept as the exact string
-    here so the oracle twin is engine-portable."""
+    here so the oracle twin is engine-portable.
+
+    Skew tradeoff, stated honestly: the count window shuffles raw
+    start rows by shingle, so one pathologically-hot shingle lands on
+    one task (AQE splits skewed JOINS, not windows). The groupBy+
+    semi-join formulation is skew-immune on the count (map-side
+    combine) and — WHEN the duplicate-shingle set is small enough to
+    broadcast — avoids shuffling starts at all; but on the heavily-
+    duplicated corpora this operator exists for, the dup set is
+    itself corpus-scale (not broadcastable), the semi join shuffles
+    the same skewed rows anyway, AND still pays the second
+    shingle-chain eval. The count window is the robust default;
+    corpora known to have a tiny dup set can fork to the
+    broadcast-semi shape."""
     return _dup_spans_from(_tokens_indexed(docs), k, min_count)
 
 
