@@ -13,6 +13,8 @@ import duckdb
 import pyspark.sql.functions as F
 import pytest
 
+from v2_ocr_spark.fixtures.oracle_expected import round6
+
 from v2_ocr_spark.operators.corpus import (
     boilerplate_lines_for,
     decontaminate,
@@ -91,7 +93,6 @@ def test_decontaminate_planted(spark):
     # doc 1 shares exactly 2 of its 6 5-gram shingles with the benchmark
     assert rows[1].contaminated
     assert rows[1].n_shingles == 6 and rows[1].bench_hits == 2
-    from v2_ocr_spark.fixtures.oracle_expected import round6
     assert rows[1].hit_frac == round6(2 / 6)
     assert not rows[2].contaminated and rows[2].bench_hits == 0
     # NULL-text doc: kept in the report with zero shingles, not flagged
@@ -371,8 +372,6 @@ def test_decontaminate_randomized_differential(spark):
     shingle), '' docs ({''} singleton), NULL docs (kept, zero
     shingles), benchmark NULLs, varying contamination levels."""
     import random
-
-    from v2_ocr_spark.fixtures.oracle_expected import round6
 
     rng = random.Random(99)
     vocab = ["red", "blue", "green", "gold", "teal", "gray", "pink"]

@@ -49,9 +49,6 @@ def _q_nano(x: float) -> int:
     )
 
 
-
-
-
 def _py_kmeans(units: dict, k: int, n_iter: int) -> dict:
     """Plain-loop twin of kmeans_assign_for: hash-order seeds, argmax
     (x.c - |c|^2/2) with asc-cell tiebreak, integer-nano mean updates."""

@@ -102,14 +102,10 @@ def main() -> None:
     t_ann = time.perf_counter() - t0
 
     # ---- semantic dedup stress: identical replicas must co-cluster ----
-    # surviving originals (with_unit_norm drops zero/non-finite vectors
-    # before clustering — count the units, not the raw table)
-    n_units = (
-        similarity.with_unit_norm(
-            spark.read.parquet(f"{WORK}/embeddings.parquet")
-        ).count()
-        // REPL
-    )
+    # surviving units among the ORIGINALS (with_unit_norm drops
+    # zero/non-finite vectors before clustering; replicas of a dropped
+    # vector are dropped too, so originals x REPL is exact)
+    n_units = similarity.with_unit_norm(emb).count()
     t0 = time.perf_counter()
     sem = similarity.semantic_near_dup_pairs(
         spark, WORK, k=64, n_iter=2, threshold=0.999
@@ -151,7 +147,9 @@ def main() -> None:
     assert n_pairs >= expected_min, (n_pairs, expected_min)
     assert groups_split == 0, groups_split
     assert n_topk == 50, n_topk
-    assert n_sem >= sem_expected, (n_sem, sem_expected)
+    # exact, not just >=: spurious pairs (precision regression,
+    # pair-order duplicates) must fail the probe like missed ones
+    assert n_sem == sem_expected, (n_sem, sem_expected)
     spark.stop()
 
 

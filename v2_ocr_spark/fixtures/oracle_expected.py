@@ -153,12 +153,20 @@ def round6(x: float) -> float:
     ulp-of-the-6th-place from both engines. Any pure-Python twin that
     mirrors a round-to-6 column MUST use this helper, not round() and
     not floor(x*1e6+0.5) (which inherits the same binary-midpoint
-    skew). Found by the lm_logloss randomized differential test."""
-    from decimal import ROUND_HALF_UP, Decimal
+    skew). Found by the lm_logloss randomized differential test.
 
-    return float(
-        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-    )
+    Non-finite inputs pass through unchanged (both engines' round()
+    keeps NaN/Inf), and a widened decimal context covers magnitudes
+    the default 28-digit context would refuse to quantize."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    if not math.isfinite(x):
+        return x
+    with localcontext() as ctx:
+        ctx.prec = 60
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
 
 
 def srp_candidates(
