@@ -699,6 +699,60 @@ def scrub_boilerplate_for(docs: DataFrame, min_docs: int = 3) -> DataFrame:
     )
 
 
+def shuffle_shards(
+    spark, sf_dir, n_shards: int = 8, seed: str = "shuf"
+) -> DataFrame:
+    """Deterministic shuffle-into-shards over the documents table —
+    see shuffle_shards_for."""
+    return shuffle_shards_for(_docs(spark, sf_dir), n_shards, seed)
+
+
+def shuffle_shards_for(
+    docs: DataFrame, n_shards: int = 8, seed: str = "shuf"
+) -> DataFrame:
+    """-> (doc_id, shard, pos): the reproducible pre-training shuffle —
+    assign every document to one of n_shards output shards and give it
+    a dense 1-based position inside its shard, both derived from
+    md5(seed || ':' || doc_id). Training jobs read shards in pos order;
+    changing the seed reshuffles, and the SAME seed reproduces the
+    identical order on any engine, partitioning, or cluster size —
+    the property RNG-based orderBy(rand()) cannot give and the reason
+    sampled/shuffled corpora stay auditable at 10^12 rows (the same
+    argument as sample_stratified's md5 buckets).
+
+    Contracts (twin-checked byte-level vs DuckDB in
+    tests/test_shuffle_shards.py — the gate sits at its 50-entry cap,
+    so this op is pytest-twinned like its r5 siblings):
+      * shard = first-60-md5-bits % n_shards (the _md5_u60 / DuckDB
+        ('0x'||substr(md5(..),1,15))::UBIGINT idiom); pos ranks by the
+        full md5 hex string (asc doc_id tiebreak — md5 collisions are
+        unreachable, the tiebreak just keeps the order total).
+      * every input doc appears exactly once; pos is dense 1..|shard|.
+
+    Scale shape: ONE hash exchange on shard + a per-shard sort window
+    — NO global total order (no rangepartitioning): training order
+    only needs to be fixed WITHIN a shard, so the classic
+    shard-then-sort-within construction sidesteps the global-sort
+    bottleneck entirely. Parallelism = n_shards; pick n_shards ~ the
+    shard-file count you want on disk (thousands at corpus scale)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", key.alias("_key"), shard.cast("int").alias("shard")
+        )
+        .select(
+            "doc_id", "shard", F.row_number().over(w).alias("pos")
+        )
+    )
+
+
 def dup_spans(spark, sf_dir, k: int = 8, min_count: int = 2) -> DataFrame:
     """Duplicate-substring spans over the documents table — see
     dup_spans_for."""
