@@ -223,3 +223,53 @@ def test_dot_pd_udf_not_mutated_by_eval_once_variant(spark):
     assert _dot_pd.deterministic is True
     assert _dot_pd_once.deterministic is False
     assert _dot_pd._unwrapped is not _dot_pd_once._unwrapped
+
+
+def test_kmeans_recovers_separable_mixture(spark):
+    """Semantic-quality pin on STRUCTURED data (every other fixture is
+    isotropic noise): 4 well-separated Gaussian components must come
+    out PURE — no cluster mixes components (components may split
+    across clusters; k=16 > 4 by design) — and the within-cluster
+    near-dup scan must find only within-component pairs. Twin equality
+    is asserted on the same fixture, so the Spark run inherits the
+    probed pure-Python structure."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    comp_of = {}
+    for c in range(4):
+        for j in range(50):
+            vid = c * 1000 + j
+            v = [rng.gauss(0, 0.3) for _ in range(64)]
+            v[c] += 5.0
+            rows.append((vid, v))
+            comp_of[vid] = c
+    units = unit_vectors(rows)
+    final = _py_kmeans(units, 16, 3)
+
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assigned = kmeans_assign_for(
+        with_unit_norm(emb).select("vec_id", "unit"), 16, 3
+    )
+    got = {r.vec_id: r.cell_id for r in assigned.collect()}
+    assigned.unpersist()
+    assert got == final
+    # purity: pinned on this deterministic fixture (probed: 16
+    # clusters, zero impure)
+    clusters: dict[int, set] = {}
+    for vid, cell in got.items():
+        clusters.setdefault(cell, set()).add(comp_of[vid])
+    assert len(clusters) == 16
+    assert all(len(comps) == 1 for comps in clusters.values())
+
+    pairs = semantic_near_dup_pairs_for(
+        with_unit_norm(emb).select("vec_id", "unit"),
+        16,
+        3,
+        threshold=0.9,
+    )
+    prows = pairs.collect()
+    pairs.unpersist()
+    assert prows  # within-component near-dups exist at 0.9
+    assert all(comp_of[r.id_a] == comp_of[r.id_b] for r in prows)
