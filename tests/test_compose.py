@@ -224,3 +224,28 @@ def test_run_extract_clean_pipeline_minhash(
             spark, small_transcripts, str(tmp_path / "bad"),
             dedup_method="nope",
         )
+
+
+def test_pipeline_empty_input_degrades_gracefully(
+    spark, sf_small, tmp_path
+):
+    """Zero conversations in: the composed job must complete with an
+    ok status and an honest all-zero summary (no crash in assembly,
+    near-dup, filtering, or packing on empty frames), and the output
+    directory must carry the same summary.json a non-empty run
+    writes."""
+    src = str(tmp_path / "empty.parquet")
+    spark.read.parquet(f"{sf_small}/transcripts.parquet").limit(
+        0
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    summary = run_extract_clean_pipeline(
+        spark, src, out, num_partitions=2
+    )
+    assert summary["extraction"]["status"] == "ok"
+    assert summary["extraction"]["turns_seen"] == 0
+    assert summary["extraction"]["turns_errored"] == 0
+    assert summary["kept_docs"] == 0 and summary["kept_bins"] == 0
+    assert summary["outcomes"] == {}
+    with open(f"{out}/summary.json") as f:
+        assert json.load(f) == summary
