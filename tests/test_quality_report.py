@@ -113,3 +113,23 @@ def test_quality_report_non_default_paths(spark, tmp_path):
     with open(f"{out}/summary.json") as f:
         assert json.load(f)["params"]["span_k"] == 2
     assert summary2["docs"] == 4
+
+
+def test_quality_report_empty_corpus(spark, tmp_path):
+    """Zero documents in: the report completes with an honest all-zero
+    summary (count totals 0, the over-nothing mean NULL) and an empty
+    but readable ledger."""
+    sf = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "report")
+    os.makedirs(out)
+    summary = corpus_quality_report(spark, sf, out)
+    assert summary["docs"] == 0
+    assert summary["total_tokens"] == 0
+    assert summary["total_dup_tokens"] == 0
+    assert summary["total_boiler_lines"] == 0
+    assert summary["docs_with_oov"] == 0
+    assert summary["mean_bits_per_token"] is None
+    assert spark.read.parquet(f"{out}/doc_quality").count() == 0

@@ -121,12 +121,19 @@ def corpus_quality_report(
     report.write.mode("overwrite").parquet(out_table)
 
     written = spark.read.parquet(out_table)
+    # count totals coalesce to 0 on an empty corpus (sum over zero
+    # rows is NULL — an honest report says zero); the MEAN stays NULL
+    # (a mean over nothing has no value to claim)
     agg = written.agg(
         F.count("*").alias("docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
         F.round(F.avg("bits_per_token"), 6).alias("mean_bits_per_token"),
-        F.sum("dup_tokens").alias("total_dup_tokens"),
-        F.sum("boiler_lines").alias("total_boiler_lines"),
+        F.coalesce(F.sum("dup_tokens"), F.lit(0)).alias(
+            "total_dup_tokens"
+        ),
+        F.coalesce(F.sum("boiler_lines"), F.lit(0)).alias(
+            "total_boiler_lines"
+        ),
         F.count(F.when(F.col("oov_frac") > 0, 1)).alias("docs_with_oov"),
     ).collect()[0]
     summary = {
